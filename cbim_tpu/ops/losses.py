@@ -1,0 +1,113 @@
+"""Segmentation losses (pure jnp; jit/grad friendly).
+
+Numerical parity targets (verified by tests/test_losses.py against the
+reference's torch implementations):
+
+- ``dice_loss``  == reference training/losses.py:8-58 (DiceLoss): softmax ->
+  one-hot -> adaptive Tversky weighting alpha = FP/(FP+FN), clamped to
+  [0.2, 0.8], beta = 1 - alpha, smooth = 1e-5, mean over classes.
+- ``weighted_cross_entropy`` == torch.nn.CrossEntropyLoss(weight=w) as used by
+  reference train.py:80 (weighted mean reduction).
+- ``focal_loss`` == reference training/losses.py:60-98 (class-balanced, gamma=2).
+
+Layout: ``logits`` are channels-LAST (B, *spatial, C); ``target`` is an integer
+array (B, *spatial).  The adaptive-alpha division is done in fp32 regardless of
+the compute dtype (tiny denominators; see SURVEY.md "hard parts").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SMOOTH = 1e-5
+
+
+def dice_loss(logits: jax.Array, target: jax.Array, *,
+              size_average: bool = True, reduce: bool = True) -> jax.Array:
+    """Adaptive-Tversky Dice loss, matching the reference DiceLoss exactly.
+
+    logits: (B, *spatial, C) float; target: (B, *spatial) int.
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = probs.reshape(-1, num_classes)                      # (N, C)
+    onehot = jax.nn.one_hot(target.reshape(-1), num_classes, dtype=jnp.float32)
+
+    tp = jnp.sum(probs * onehot, axis=0)                        # (C,)
+    fp = jnp.sum(probs * (1.0 - onehot), axis=0)
+    fn = jnp.sum((1.0 - probs) * onehot, axis=0)
+
+    alpha = fp / (fp + fn + _SMOOTH)
+    alpha = jnp.clip(alpha, 0.2, 0.8)
+    beta = 1.0 - alpha
+
+    num = tp
+    den = num + alpha * fp + beta * fn
+    dice = num / (den + _SMOOTH)
+
+    loss = 1.0 - dice
+    if not reduce:
+        return loss
+    loss = jnp.sum(loss)
+    if size_average:
+        loss = loss / num_classes
+    return loss
+
+
+def weighted_cross_entropy(logits: jax.Array, target: jax.Array,
+                           class_weights: jax.Array | None = None) -> jax.Array:
+    """Per-class weighted CE with torch's weighted-mean reduction.
+
+    torch.nn.CrossEntropyLoss(weight=w): mean(w[t_i] * ce_i) / mean(w[t_i])
+    i.e. sum(w[t_i] * ce_i) / sum(w[t_i]).
+    """
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = logp.reshape(-1, num_classes)
+    tflat = target.reshape(-1)
+    nll = -jnp.take_along_axis(logp, tflat[:, None], axis=-1)[:, 0]   # (N,)
+    if class_weights is None:
+        return jnp.mean(nll)
+    w = jnp.asarray(class_weights, dtype=jnp.float32)[tflat]
+    return jnp.sum(w * nll) / jnp.sum(w)
+
+
+def focal_loss(logits: jax.Array, target: jax.Array, *,
+               gamma: float = 2.0, alpha: jax.Array | None = None,
+               size_average: bool = True) -> jax.Array:
+    """Focal loss matching reference FocalLoss (training/losses.py:60-98)."""
+    num_classes = logits.shape[-1]
+    logits32 = logits.astype(jnp.float32).reshape(-1, num_classes)
+    tflat = target.reshape(-1)
+    p = jax.nn.softmax(logits32, axis=-1)
+    logp = jax.nn.log_softmax(logits32, axis=-1)
+    pt = jnp.take_along_axis(p, tflat[:, None], axis=-1)[:, 0]
+    logpt = jnp.take_along_axis(logp, tflat[:, None], axis=-1)[:, 0]
+    if alpha is None:
+        a = jnp.ones((), dtype=jnp.float32)
+    else:
+        a = jnp.asarray(alpha, dtype=jnp.float32)[tflat]
+    batch_loss = -a * (1.0 - pt) ** gamma * logpt
+    return jnp.mean(batch_loss) if size_average else jnp.sum(batch_loss)
+
+
+def segmentation_loss(logits, target, class_weights=None, rlt: float = 1.0):
+    """CE + Dice combination used by the reference train loop (train.py:199).
+
+    ``rlt`` weights the CE term relative to Dice (config key ``rlt``).
+    """
+    return rlt * weighted_cross_entropy(logits, target, class_weights) + \
+        dice_loss(logits, target)
+
+
+def deep_supervision_loss(outputs, target, aux_weight, class_weights=None,
+                          rlt: float = 1.0):
+    """Sum of per-head (CE + Dice) weighted by aux_weight (train.py:194-212).
+
+    ``outputs`` is a list of logits (full-resolution deep-supervision heads).
+    """
+    loss = 0.0
+    for w, out in zip(aux_weight, outputs):
+        loss = loss + w * segmentation_loss(out, target, class_weights, rlt)
+    return loss
