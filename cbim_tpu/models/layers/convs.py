@@ -1,0 +1,375 @@
+"""Dimension-generic convolutional building blocks (Flax, channels-last).
+
+TPU-first re-design of the reference's block library
+(model/dim3/conv_layers.py and model/dim2/conv_layers.py): one implementation
+serves 2D and 3D — the spatial rank is inferred from the input, layouts are
+channels-last (NHWC / NDHWC, the native TPU conv layout), and mixed precision
+is expressed through Flax's ``dtype`` (bf16 compute) / ``param_dtype`` (fp32
+params) convention instead of autocast.
+
+Semantics parity notes (verified by tests/test_models.py param-count and
+forward-parity tests):
+- explicit symmetric padding k//2 (torch Conv default-style), not XLA 'SAME'
+- norm: 'bn' (BatchNorm, eps 1e-4, torch momentum 0.1), 'in' (InstanceNorm,
+  affine=False like torch's default), 'ln' (channel-dim LayerNorm — the
+  reference's channels-first LayerNorm normalizes over C only)
+- act: relu / relu6 / gelu (exact erf, like torch.nn.GELU) / silu / lrelu
+- conv/linear weights use torch's kaiming-uniform(a=sqrt(5)) fan-in init so
+  training dynamics match the reference
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+KernelArg = Union[int, Sequence[int]]
+
+#: torch Conv/Linear default init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _tuple(v: KernelArg, n: int) -> tuple:
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(int(t) for t in v)
+
+
+def get_act(name) -> Callable:
+    if name in (None, False):
+        return lambda x: x
+    if callable(name):
+        return name
+    return {
+        "relu": jax.nn.relu,
+        "relu6": jax.nn.relu6,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "silu": jax.nn.silu,
+        "swish": jax.nn.silu,
+        "lrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
+        "sigmoid": jax.nn.sigmoid,
+        "prelu": jax.nn.relu,  # placeholder; PReLU is a module (see vnet.py)
+        "elu": jax.nn.elu,
+    }[name]
+
+
+class Norm(nn.Module):
+    """Config-selected normalization over a channels-last tensor."""
+    kind: Any = "bn"           # 'bn' | 'in' | 'ln' | None/False
+    eps: float = 1e-4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind in (None, False):
+            return x
+        if self.kind == "bn":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=self.eps, dtype=self.dtype)(x)
+        if self.kind == "in":
+            # torch InstanceNorm default: affine=False, no running stats,
+            # biased variance over spatial dims per sample/channel.
+            spatial_axes = tuple(range(1, x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=spatial_axes, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=spatial_axes, keepdims=True)
+            return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        if self.kind == "ln":
+            # the reference's channels-first LayerNorm == LN over C only
+            return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype)(x)
+        raise ValueError(f"unknown norm {self.kind!r}")
+
+
+class ConvNormAct(nn.Module):
+    """conv + norm + act, pre- or post-activated (conv_layers.py:16-53)."""
+    out_ch: int
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    padding: KernelArg | None = None     # None -> k//2 per axis
+    groups: int = 1
+    dilation: KernelArg = 1
+    use_bias: bool = False
+    norm: Any = "bn"
+    act: Any = "relu"
+    preact: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        k = _tuple(self.kernel_size, nd)
+        s = _tuple(self.stride, nd)
+        d = _tuple(self.dilation, nd)
+        if self.padding is None:
+            p = tuple(ki // 2 for ki in k)
+        else:
+            p = _tuple(self.padding, nd)
+        conv = nn.Conv(self.out_ch, kernel_size=k, strides=s,
+                       padding=[(pi, pi) for pi in p], kernel_dilation=d,
+                       feature_group_count=self.groups, use_bias=self.use_bias,
+                       kernel_init=torch_conv_init, dtype=self.dtype)
+        norm = Norm(self.norm, dtype=self.dtype)
+        act = get_act(self.act)
+        if self.preact:
+            return conv(act(norm(x, train)))
+        return act(norm(conv(x), train))
+
+
+class SingleConv(nn.Module):
+    """conv_layers.py:56-68 — one post-activated ConvNormAct."""
+    out_ch: int
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    norm: Any = "bn"
+    act: Any = "relu"
+    preact: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                           norm=self.norm, act=self.act, preact=self.preact,
+                           dtype=self.dtype)(x, train)
+
+
+class BasicBlock(nn.Module):
+    """conv_layers.py:71-94 — preact residual block (2 convs + shortcut)."""
+    out_ch: int
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    norm: Any = "bn"
+    act: Any = "relu"
+    preact: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        out = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                          norm=self.norm, act=self.act, preact=self.preact,
+                          dtype=self.dtype)(x, train)
+        out = ConvNormAct(self.out_ch, self.kernel_size, 1,
+                          norm=self.norm, act=self.act, preact=self.preact,
+                          dtype=self.dtype)(out, train)
+        stride = _tuple(self.stride, nd)
+        if any(s != 1 for s in stride) or in_ch != self.out_ch:
+            shortcut = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                                   norm=self.norm, act=self.act, preact=self.preact,
+                                   dtype=self.dtype)(x, train)
+        else:
+            shortcut = x
+        return out + shortcut
+
+
+class Bottleneck(nn.Module):
+    """conv_layers.py:97-123 — 1-k-1 preact bottleneck, expansion 2."""
+    out_ch: int
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    groups: int = 1
+    dilation: KernelArg = 1
+    norm: Any = "bn"
+    act: Any = "relu"
+    preact: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        mid = self.out_ch // 2
+        out = ConvNormAct(mid, 1, 1, padding=0, norm=self.norm, act=self.act,
+                          preact=self.preact, dtype=self.dtype)(x, train)
+        out = ConvNormAct(mid, self.kernel_size, self.stride, groups=self.groups,
+                          dilation=self.dilation, norm=self.norm, act=self.act,
+                          preact=self.preact, dtype=self.dtype)(out, train)
+        out = ConvNormAct(self.out_ch, 1, 1, padding=0, norm=self.norm,
+                          act=self.act, preact=self.preact, dtype=self.dtype)(out, train)
+        stride = _tuple(self.stride, nd)
+        if any(s != 1 for s in stride) or in_ch != self.out_ch:
+            shortcut = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                                   norm=self.norm, act=self.act, preact=self.preact,
+                                   dtype=self.dtype)(x, train)
+        else:
+            shortcut = x
+        return out + shortcut
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """conv_layers.py:126-157 — depthwise conv + pointwise conv, no norm/act."""
+    out_ch: int
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        k = _tuple(self.kernel_size, nd)
+        p = [(ki // 2, ki // 2) for ki in k]
+        x = nn.Conv(in_ch, kernel_size=k, strides=_tuple(self.stride, nd),
+                    padding=p, feature_group_count=in_ch, use_bias=self.use_bias,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        x = nn.Conv(self.out_ch, kernel_size=(1,) * nd, use_bias=self.use_bias,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        return x
+
+
+class SEBlock(nn.Module):
+    """conv_layers.py:159-174 — squeeze-and-excitation."""
+    ratio: int = 4
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        act = get_act(self.act)
+        s = jnp.mean(x, axis=tuple(range(1, 1 + nd)), keepdims=True)
+        s = nn.Conv(in_ch // self.ratio, (1,) * nd, use_bias=True,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(s)
+        s = act(s)
+        s = nn.Conv(in_ch, (1,) * nd, use_bias=True,
+                    kernel_init=torch_conv_init, dtype=self.dtype)(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class DropPath(nn.Module):
+    """conv_layers.py:177-194 — batch-wise stochastic depth."""
+    p: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.p == 0.0 or not train:
+            return x
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.uniform(rng, shape) > self.p
+        return x / (1.0 - self.p) * keep
+
+
+class MBConv(nn.Module):
+    """conv_layers.py:197-238 — inverted residual with depthwise conv + SE."""
+    out_ch: int
+    expansion: int = 4
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    ratio: int = 4
+    p: float = 0.0
+    se: bool = True
+    norm: Any = "bn"
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        expanded = self.expansion * in_ch
+        residual = x
+
+        if self.expansion != 1:
+            x = ConvNormAct(expanded, 1, 1, padding=0, norm=self.norm,
+                            act=self.act, preact=True, dtype=self.dtype)(x, train)
+        x = ConvNormAct(expanded, self.kernel_size, self.stride, groups=expanded,
+                        norm=self.norm, act=self.act, preact=True,
+                        dtype=self.dtype)(x, train)
+        if self.se:
+            x = SEBlock(ratio=self.ratio, act=self.act, dtype=self.dtype)(x, train)
+        x = ConvNormAct(self.out_ch, 1, 1, padding=0, norm=self.norm, act=False,
+                        preact=True, dtype=self.dtype)(x, train)
+        x = DropPath(self.p)(x, train)
+
+        stride = _tuple(self.stride, nd)
+        if in_ch != self.out_ch or any(s != 1 for s in stride):
+            residual = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                                   norm=False, act=False, dtype=self.dtype)(residual, train)
+        return x + residual
+
+
+class FusedMBConv(nn.Module):
+    """conv_layers.py:241-281 — fused inverted residual (dense kxk expand)."""
+    out_ch: int
+    expansion: int = 4
+    kernel_size: KernelArg = 3
+    stride: KernelArg = 1
+    ratio: int = 4
+    p: float = 0.0
+    se: bool = True
+    norm: Any = "bn"
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        expanded = self.expansion * in_ch
+        residual = x
+
+        x = ConvNormAct(expanded, self.kernel_size, self.stride, norm=self.norm,
+                        act=self.act, preact=True, dtype=self.dtype)(x, train)
+        if self.se:
+            x = SEBlock(ratio=self.ratio, act=self.act, dtype=self.dtype)(x, train)
+        x = ConvNormAct(self.out_ch, 1, 1, padding=0, norm=self.norm, act=False,
+                        preact=True, dtype=self.dtype)(x, train)
+        x = DropPath(self.p)(x, train)
+
+        stride = _tuple(self.stride, nd)
+        if in_ch != self.out_ch or any(s != 1 for s in stride):
+            residual = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
+                                   norm=False, act=False, dtype=self.dtype)(residual, train)
+        return x + residual
+
+
+class ConvNeXtBlock(nn.Module):
+    """model/dim2/conv_layers.py:274+ — depthwise 7x7, LN, pointwise MLP."""
+    out_ch: int
+    kernel_size: KernelArg = 7
+    drop_path: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nd = x.ndim - 2
+        in_ch = x.shape[-1]
+        k = _tuple(self.kernel_size, nd)
+        residual = x
+        x = nn.Conv(in_ch, kernel_size=k,
+                    padding=[(ki // 2, ki // 2) for ki in k],
+                    feature_group_count=in_ch, kernel_init=torch_conv_init,
+                    dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = nn.Dense(4 * in_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        if self.layer_scale_init_value > 0:
+            gamma_p = self.param("layer_scale",
+                                 nn.initializers.constant(self.layer_scale_init_value),
+                                 (self.out_ch,))
+            x = x * gamma_p
+        x = DropPath(self.drop_path)(x, train)
+        if in_ch == self.out_ch:
+            x = x + residual
+        return x
+
+
+def get_block_cls(name: str):
+    """Reference get_block (model/dim3/utils.py:7-13), by config string."""
+    return {
+        "SingleConv": SingleConv,
+        "ConvNormAct": SingleConv,   # dim3 unet.py default alias
+        "BasicBlock": BasicBlock,
+        "Bottleneck": Bottleneck,
+        "MBConv": MBConv,
+        "FusedMBConv": FusedMBConv,
+        "ConvNeXtBlock": ConvNeXtBlock,
+    }[name]
