@@ -1,0 +1,195 @@
+"""The batched on-device augmentation pipeline (the framework's hot input path).
+
+The reference augments per-sample inside ``Dataset.__getitem__`` on CPU
+workers or the GPU (5-6 s/volume CPU, 0.1-0.3 s/volume GPU for 160^3 —
+reference docs/change.md:6-7).  Here the host only *slices windows* out of
+the RAM cache (a memcpy); everything stochastic runs as ONE jit-compiled,
+vmapped XLA program per batch on the accelerator:
+
+    host:   pick volume -> random (training_size + affine_pad) window
+            -> place centered in a fixed zero buffer -> stack batch
+    device: [pre-intensity ops] -> affine resample -> center crop
+            -> [post-intensity/mirror ops]     (all per-sample keyed)
+
+Branching parity: the reference's "crop trick" (dataset_amos_ct.py:121-137)
+takes the affine branch with probability p and a plain random crop otherwise.
+Here the no-affine branch uses an identity theta, so one static program
+serves both branches; the plain-branch crop distribution differs from the
+reference only in that crop centers sit >= pad/2 voxels from the volume edge
+(the affine branch has the same property in the reference itself).
+
+For the ACDC-style recipes the reference affines the *full* volume; a jitted
+program needs static shapes, so the affine window is the padded precrop
+instead — same transform family, slightly different normalized-coordinate
+scaling per sample.  Quality impact is within augmentation noise; see
+tests/test_pipeline.py for the distribution checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import augment as A
+from ..ops.resample import affine_sample_2d, affine_sample_3d
+
+
+@dataclass(frozen=True)
+class AugRecipe:
+    """Declarative training-augmentation recipe for one dataset.
+
+    ops are (name, prob, params) triples; prob 1.0 means unconditional.
+    pre_ops run before the affine (on the precrop window, ACDC style,
+    dataset_acdc.py:141-149); post_ops run after the crop (AMOS style,
+    dataset_amos_ct.py:141-153).
+    """
+    affine_prob: float = 1.0
+    affine_pad: Sequence[int] = (0, 0, 0)
+    scale: Sequence = (0.3, 0.3, 0.3)
+    rotate: Sequence = (30, 30, 30)
+    translate: Sequence = (0.0, 0.0, 0.0)
+    shear: Sequence = (0.05, 0.05, 0.05)
+    pre_ops: tuple = ()
+    post_ops: tuple = ()
+
+
+def _apply_op(name: str, params: dict, img, lab, key):
+    """Dispatch one augmentation op; returns (img, lab)."""
+    if name == "gaussian_noise":
+        if "std_range" in params:
+            k1, k2 = jax.random.split(key)
+            lo, hi = params["std_range"]
+            std = jax.random.uniform(k1, (), jnp.float32, lo, hi)
+            return A.gaussian_noise(img, k2, std), lab
+        return A.gaussian_noise(img, key, params["std"]), lab
+    if name == "brightness_additive":
+        return A.brightness_additive(img, key, params["std"]), lab
+    if name == "brightness_multiply":
+        return A.brightness_multiply(img, key, params["range"]), lab
+    if name == "gamma":
+        return A.gamma(img, key, params["range"],
+                       params.get("retain_stats", True)), lab
+    if name == "contrast":
+        return A.contrast(img, key, params["range"]), lab
+    if name == "gaussian_blur":
+        return A.gaussian_blur(img, key, params["range"]), lab
+    if name == "mirror":
+        return A.mirror(img, lab, params["axis"])
+    raise ValueError(f"unknown aug op {name!r}")
+
+
+def _gated(name, prob, params, img, lab, key):
+    if prob >= 1.0:
+        return _apply_op(name, params, img, lab, key)
+    kg, ko = jax.random.split(key)
+    gate = jax.random.bernoulli(kg, prob)
+    img2, lab2 = _apply_op(name, params, img, lab, ko)
+    return (jnp.where(gate, img2, img),
+            lab if lab2 is lab else jnp.where(gate, lab2, lab))
+
+
+def build_sample_aug(recipe: AugRecipe, crop_size, ndim: int):
+    """Per-sample augmentation fn(img_buf, lab_buf, key) -> (img, lab).
+
+    img_buf: (*buffer_spatial, C) float32; lab_buf: (*buffer_spatial) int.
+    """
+    crop_size = tuple(int(t) for t in crop_size)
+
+    def fn(img, lab, key):
+        k_ops = jax.random.split(key, len(recipe.pre_ops) + len(recipe.post_ops) + 2)
+        ki = 0
+        for (name, prob, params) in recipe.pre_ops:
+            img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
+            ki += 1
+
+        k_branch, k_theta = jax.random.split(k_ops[ki]); ki += 1
+        if ndim == 3:
+            theta = A.random_theta_3d(k_theta, recipe.scale, recipe.rotate,
+                                      recipe.translate, recipe.shear)
+            eye = jnp.eye(3, 4, dtype=jnp.float32)
+        else:
+            theta = A.random_theta_2d(k_theta, recipe.scale, recipe.rotate,
+                                      recipe.translate)
+            eye = jnp.eye(2, 3, dtype=jnp.float32)
+        if recipe.affine_prob < 1.0:
+            take = jax.random.bernoulli(k_branch, recipe.affine_prob)
+            theta = jnp.where(take, theta, eye)
+
+        if ndim == 3:
+            img, lab = affine_sample_3d(img, lab, theta)
+            img, lab = A.center_crop_3d(img, lab, crop_size)
+        else:
+            img, lab = affine_sample_2d(img, lab, theta)
+            img, lab = A.center_crop_2d(img, lab, crop_size)
+
+        for (name, prob, params) in recipe.post_ops:
+            img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
+            ki += 1
+        return img, lab
+
+    return fn
+
+
+class TrainPipeline:
+    """Host window sampler + jitted batched device augmentation."""
+
+    def __init__(self, dataset, cfg, seed: int = 0, batch_shard_fn=None):
+        self.ds = dataset
+        self.cfg = cfg
+        self.ndim = 3 if cfg.dimension == "3d" else 2
+        self.crop_size = tuple(cfg.training_size[:self.ndim])
+        recipe = dataset.recipe()
+        self.recipe = recipe
+        self.buffer_shape = tuple(
+            t + p for t, p in zip(self.crop_size, recipe.affine_pad))
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._aug = jax.jit(jax.vmap(build_sample_aug(recipe, self.crop_size,
+                                                      self.ndim)))
+        # optional hook that places the host batch on the device mesh
+        # (GSPMD data parallelism) before the augmentation program runs
+        self._shard = batch_shard_fn or (lambda x: x)
+
+    # -- host side -----------------------------------------------------------
+    def _window(self, img: np.ndarray, lab: np.ndarray):
+        """Random window of buffer_shape, zero-padded + centered if needed."""
+        buf_img = np.zeros(self.buffer_shape, np.float32)
+        buf_lab = np.zeros(self.buffer_shape, np.int32)
+        slices_src, slices_dst = [], []
+        for ax, b in enumerate(self.buffer_shape):
+            s = img.shape[ax]
+            w = min(b, s)
+            # reference crop_3d: start ~ randint(0, max(size-crop, 1))
+            hi = max(s - w, 1)
+            start = int(self._rng.integers(0, hi)) if s > w else 0
+            off = (b - w) // 2
+            slices_src.append(slice(start, start + w))
+            slices_dst.append(slice(off, off + w))
+        buf_img[tuple(slices_dst)] = img[tuple(slices_src)]
+        buf_lab[tuple(slices_dst)] = lab[tuple(slices_src)]
+        return buf_img, buf_lab
+
+    def host_batch(self, batch_size: int):
+        idxs = self._rng.integers(0, len(self.ds.images), size=batch_size)
+        imgs = np.empty((batch_size, *self.buffer_shape, 1), np.float32)
+        labs = np.empty((batch_size, *self.buffer_shape), np.int32)
+        for i, idx in enumerate(idxs):
+            bi, bl = self._window(self.ds.images[idx], self.ds.labels[idx])
+            imgs[i, ..., 0] = bi
+            labs[i] = bl
+        return imgs, labs
+
+    # -- device side ----------------------------------------------------------
+    def next_batch(self, batch_size: int):
+        """Returns (img (B, *crop, 1) f32, lab (B, *crop) i32) on device."""
+        imgs, labs = self.host_batch(batch_size)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, batch_size)
+        img, lab = self._aug(self._shard(jnp.asarray(imgs)),
+                             self._shard(jnp.asarray(labs)), self._shard(keys))
+        return img, lab

@@ -1,0 +1,187 @@
+"""Inference engines: whole-image and sliding-window, 2D + 3D.
+
+Reproduces reference inference/inference3d.py and inference2d.py exactly:
+- window stride = half window; edge windows clamped flush to the border via
+  ``split_idx`` (inference/utils.py:29-43) — kept bit-identical;
+- uniform fusion: softmax-probability sum + visit counter, divided at the end
+  (inference3d.py:61-88);
+- inputs smaller than the window are zero-padded high-side and the output is
+  cropped back (inference3d.py:44-54, :89-90).
+
+TPU-native design: the window grid for a given volume shape is a *static*
+start-index table, so the whole sweep compiles to one XLA program
+(``lax.scan`` over dynamic-slice -> model forward -> scatter-add).  Windows
+are batched ``window_batch`` at a time to fill the MXU; a validity mask makes
+the padded tail contribute nothing, so results are independent of
+window_batch.  Programs are cached per volume shape — across a validation run
+every distinct test-volume shape compiles once and is reused every epoch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_idx(half_win: int, size: int, i: int):
+    """Exact port of reference inference/utils.py:29-43."""
+    start = half_win * i
+    end = start + half_win * 2
+    if end > size:
+        start = size - half_win * 2
+        end = size
+    return start, end
+
+
+def _grid_starts(spatial, window):
+    """All window start coordinates for a volume (reference's triple loop)."""
+    halves = [w // 2 for w in window]
+    axes = []
+    for size, half in zip(spatial, halves):
+        axes.append([split_idx(half, size, i)[0] for i in range(size // half)])
+    starts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, len(window))
+    return starts.astype(np.int32)
+
+
+class InferenceEngine:
+    """Shape-cached jit programs around a model apply function.
+
+    ``apply_fn(img) -> logits`` (deep-supervision heads already reduced to
+    head[0] by the caller-provided function).
+    """
+
+    def __init__(self, apply_fn, num_classes: int, window_size=None,
+                 window_batch: int = 1):
+        self.apply_fn = apply_fn
+        self.num_classes = num_classes
+        self.window_size = tuple(window_size) if window_size else None
+        self.window_batch = max(1, int(window_batch))
+        self._whole_cache = {}
+        self._sw_cache = {}
+
+    # -- whole image --------------------------------------------------------
+    def whole_image(self, img: jax.Array) -> jax.Array:
+        """img: (B, *spatial, C) -> softmax probs (B, *spatial, classes)."""
+        key = ("whole", img.shape)
+        if key not in self._whole_cache:
+            def fn(x):
+                logits = self.apply_fn(x)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            self._whole_cache[key] = jax.jit(fn)
+        return self._whole_cache[key](img)
+
+    # -- sliding window -------------------------------------------------------
+    def sliding_window(self, img: jax.Array) -> jax.Array:
+        """img: (1, *spatial, C) -> softmax probs (1, *spatial, classes)."""
+        window = self.window_size
+        nd = len(window)
+        spatial = img.shape[1:1 + nd]
+
+        # pad up to window size if needed (reference inference3d.py:44-54)
+        pads = [(0, max(0, w - s)) for s, w in zip(spatial, window)]
+        if any(p[1] > 0 for p in pads):
+            img_p = jnp.pad(img, [(0, 0)] + pads + [(0, 0)])
+        else:
+            img_p = img
+        padded_spatial = tuple(img_p.shape[1:1 + nd])
+
+        starts = _grid_starts(padded_spatial, window)
+        n = starts.shape[0]
+        wb = self.window_batch
+        n_pad = (-n) % wb
+        valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+        starts = np.concatenate([starts, np.tile(starts[:1], (n_pad, 1))], axis=0)
+        groups = starts.shape[0] // wb
+        starts = starts.reshape(groups, wb, nd)
+        valid = valid.reshape(groups, wb)
+
+        key = ("sw", padded_spatial, groups, wb)
+        if key not in self._sw_cache:
+            self._sw_cache[key] = self._build_sw(padded_spatial, window, groups, wb)
+        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
+
+        if any(p[1] > 0 for p in pads):
+            slices = tuple([slice(None)] + [slice(0, s) for s in spatial]
+                           + [slice(None)])
+            probs = probs[slices]
+        return probs
+
+    def _build_sw(self, spatial, window, groups, wb):
+        nd = len(window)
+        C = self.num_classes
+        apply_fn = self.apply_fn
+
+        def run(img, starts, valid):
+            # img: (1, *spatial, C_in)
+            acc = jnp.zeros((1, *spatial, C), jnp.float32)
+            cnt = jnp.zeros((1, *spatial, 1), jnp.float32)
+
+            def extract(s):
+                return jax.lax.dynamic_slice(
+                    img, (0, *[s[a] for a in range(nd)], 0),
+                    (1, *window, img.shape[-1]))[0]
+
+            def body(carry, sv):
+                acc, cnt = carry
+                s_grp, v_grp = sv                       # (wb, nd), (wb,)
+                wins = jax.vmap(extract)(s_grp)          # (wb, *window, C_in)
+                logits = apply_fn(wins)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+                def scatter(carry, i):
+                    acc, cnt = carry
+                    s = s_grp[i]
+                    v = v_grp[i]
+                    idx = (0, *[s[a] for a in range(nd)], 0)
+                    cur = jax.lax.dynamic_slice(acc, idx, (1, *window, C))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + probs[i][None] * v, idx)
+                    curc = jax.lax.dynamic_slice(cnt, idx, (1, *window, 1))
+                    cnt = jax.lax.dynamic_update_slice(
+                        cnt, curc + v, idx)
+                    return (acc, cnt), None
+
+                (acc, cnt), _ = jax.lax.scan(scatter, (acc, cnt),
+                                             jnp.arange(wb))
+                return (acc, cnt), None
+
+            (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (starts, valid))
+            return acc / cnt
+
+        return jax.jit(run)
+
+
+def inference_whole_image(engine: InferenceEngine, img, cfg=None):
+    return engine.whole_image(img)
+
+
+def inference_sliding_window(engine: InferenceEngine, img, cfg=None):
+    return engine.sliding_window(img)
+
+
+def get_inference(cfg):
+    """Dispatch on (dimension, sliding_window) (reference inference/utils.py:4-25)."""
+    if cfg.sliding_window:
+        return inference_sliding_window
+    return inference_whole_image
+
+
+def make_engine(model, variables, cfg, window_batch: int | None = None):
+    """Convenience: wrap a Flax model+vars into an InferenceEngine.
+
+    Deep-supervision models return a list of heads; head[0] is used
+    (reference inference3d.py:22-24,79-81).
+    """
+    def apply_fn(x):
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, (tuple, list)):
+            out = out[0]
+        return out
+
+    wb = window_batch if window_batch is not None else getattr(cfg, "window_batch", 1)
+    return InferenceEngine(apply_fn, cfg.classes,
+                           window_size=getattr(cfg, "window_size", None),
+                           window_batch=wb)

@@ -1,0 +1,142 @@
+"""The training runtime (reference train.py:51-135 train_net / train_epoch).
+
+One fold: build datasets + on-device pipeline + model + optimizer, run the
+epoch loop with per-epoch LR, jitted (CE+Dice+EMA) train steps, latest/best
+checkpointing, and periodic sliding-window validation.
+
+Distribution: pass a ``jax.sharding.Mesh`` (see cbim_tpu.parallel) and the
+batch is sharded over the 'data' axis; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_dataset
+from ..data.pipeline import TrainPipeline
+from ..models import get_model
+from ..utils.logging import (AverageMeter, MetricWriter, ProgressMeter,
+                             log_evaluation_result)
+from .checkpoint import load_checkpoint, save_checkpoint
+from .schedules import exp_lr_scheduler_with_warmup
+from .train_state import (create_train_state, eval_variables, make_train_step)
+from .validation import filter_validation_results, validate
+
+
+def train_net(cfg, fold_idx: int = 0, mesh=None):
+    """Train one fold; returns (best_dice, best_hd, best_asd) arrays."""
+    trainset = get_dataset(cfg, mode="train", fold_idx=fold_idx)
+    testset = get_dataset(cfg, mode="test", fold_idx=fold_idx)
+    logging.info("Created Dataset and Pipeline")
+
+    shard_fn = None
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        shard_fn = lambda x: shard_batch(x, mesh)  # noqa: E731
+
+    pipeline = TrainPipeline(trainset, cfg, seed=cfg.split_seed + fold_idx,
+                             batch_shard_fn=shard_fn)
+
+    model = get_model(cfg)
+    rng = jax.random.PRNGKey(cfg.split_seed + 1000 * fold_idx)
+    sample = jnp.zeros((1, *pipeline.crop_size, cfg.in_chan), jnp.float32)
+    state, tx = create_train_state(model, cfg, rng, sample)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logging.info("Created Model (%s, %.2fM params)", cfg.model, n_params / 1e6)
+
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+
+    ckpt_dir = os.path.join(cfg.cp_path, cfg.dataset, cfg.unique_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    writer = MetricWriter(os.path.join(cfg.log_path, cfg.dataset,
+                                       cfg.unique_name, f"fold_{fold_idx}"))
+
+    start_epoch = cfg.start_epoch
+    if cfg.resume and cfg.load:
+        state, start_epoch = load_checkpoint(cfg.load, state)
+        logging.info("Resumed from %s at epoch %d", cfg.load, start_epoch)
+
+    if cfg.dimension == "2d":
+        iters = max(1, len(trainset.images) // cfg.batch_size)
+    else:
+        iters = cfg.iter_per_epoch
+
+    best_dice = np.zeros(cfg.classes)
+    best_hd = np.ones(cfg.classes) * 1000
+    best_asd = np.ones(cfg.classes) * 1000
+
+    global_step = int(state.step)
+    for epoch in range(start_epoch, cfg.epochs):
+        lr = exp_lr_scheduler_with_warmup(cfg.base_lr, epoch, warmup_epoch=5,
+                                          max_epoch=cfg.epochs)
+        logging.info("Starting epoch %d/%d (lr %.4e)", epoch + 1, cfg.epochs, lr)
+
+        batch_time = AverageMeter("Time", ":6.2f")
+        epoch_loss = AverageMeter("Loss", ":.2f")
+        progress = ProgressMeter(iters, [batch_time, epoch_loss],
+                                 prefix=f"Epoch: [{epoch + 1}]")
+        tic = time.time()
+        for it in range(iters):
+            img, lab = pipeline.next_batch(cfg.batch_size)
+            state, loss = train_step(state, img, lab, lr)
+            if it % cfg.print_freq == 0:
+                # loss fetch syncs the device; only pay it when printing
+                epoch_loss.update(float(loss), cfg.batch_size)
+                batch_time.update(time.time() - tic)
+                progress.display(it)
+            tic = time.time()
+            global_step += 1
+
+        writer.add_scalar("Train/Loss", epoch_loss.avg, epoch + 1)
+        writer.add_scalar("LR", lr, epoch + 1)
+
+        save_checkpoint(os.path.join(ckpt_dir, f"fold_{fold_idx}_latest.ckpt"),
+                        state, epoch + 1)
+
+        if (epoch + 1) % cfg.val_freq == 0:
+            variables = eval_variables(state, cfg.ema)
+            dice, asd, hd = validate(model, variables, testset, cfg)
+            dice, asd, hd = filter_validation_results(dice, asd, hd, cfg)
+            log_evaluation_result(writer, dice, asd, hd, "test", epoch)
+            if np.nanmean(dice) >= np.nanmean(best_dice[:len(dice)]) or \
+                    not np.any(best_dice):
+                best_dice = dice
+                best_hd = hd
+                best_asd = asd
+                save_checkpoint(os.path.join(ckpt_dir,
+                                             f"fold_{fold_idx}_best.ckpt"),
+                                state, epoch + 1)
+            logging.info("Evaluation Done")
+            logging.info("Dice: %.4f / Best Dice: %.4f",
+                         np.nanmean(dice), np.nanmean(best_dice[:len(dice)]))
+
+    writer.close()
+    return best_dice, best_hd, best_asd
+
+
+def write_cross_validation(cfg, dice_list, hd_list, asd_list):
+    """cross_validation.txt aggregation (reference train.py:347-383)."""
+    total_dice = np.vstack(dice_list)
+    total_hd = np.vstack(hd_list)
+    total_asd = np.vstack(asd_list)
+    out_dir = os.path.join(cfg.cp_path, cfg.dataset, cfg.unique_name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "cross_validation.txt"), "w") as f:
+        np.set_printoptions(precision=4, suppress=True)
+        for name, per_fold, total in [("Dice", dice_list, total_dice),
+                                      ("HD", hd_list, total_hd),
+                                      ("ASD", asd_list, total_asd)]:
+            f.write(f"{name}\n")
+            for i, row in enumerate(per_fold):
+                f.write(f"Fold {i}: {row}\n")
+            f.write(f"Each Class {name} Avg: {np.mean(total, axis=0)}\n")
+            f.write(f"Each Class {name} Std: {np.std(total, axis=0)}\n")
+            f.write(f"All classes {name} Avg: {total.mean()}\n")
+            f.write(f"All classes {name} Std: {np.mean(total, axis=1).std()}\n")
+            f.write("\n")
