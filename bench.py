@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: on-device-augmentation + training throughput
+(volumes/sec/chip) for 3D MedFormer at the AMOS-scale crop (128^3, whose
+precrop window ~158^3 matches the reference's published 160^3 augmentation
+benchmark volume).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no train-throughput numbers (README.md:100
+is a TODO).  Its only quantitative perf datapoint is the GPU augmentation
+path: 0.1-0.3 s/volume for a 160^3 affine augmentation
+(reference docs/change.md:7) => ~5 volumes/sec at the 0.2 midpoint, which is
+an UPPER bound on the reference's aug+train rate (training adds the full
+fwd+bwd on top and the aug runs serially inside __getitem__).  vs_baseline
+is ours/5.0 and is therefore conservative in the reference's favor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_VOLS_PER_SEC = 5.0  # reference GPU aug path, 160^3 (docs/change.md:7)
+
+
+def build(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.data import get_dataset
+    from cbim_tpu.data.pipeline import TrainPipeline
+    from cbim_tpu.models import get_model
+    from cbim_tpu.training.train_state import create_train_state, make_train_step
+
+    crop = int(os.environ.get("BENCH_CROP", 128))
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="medformer", dimension="3d",
+        classes=16, in_chan=1, base_chan=32, conv_block="BasicBlock",
+        down_scale=[[2, 2, 2]] * 4, kernel_size=[[3, 3, 3]] * 5,
+        norm="in", act="gelu", map_size=[4, 4, 4],
+        conv_num=[2, 1, 0, 0, 0, 1, 2, 2], trans_num=[0, 1, 4, 6, 4, 1, 0, 0],
+        num_heads=[1, 4, 8, 10, 8, 4, 1, 1], expansion=4, fusion_depth=2,
+        fusion_dim=320, fusion_heads=5, attn_drop=0.0, proj_drop=0.0,
+        proj_type="depthwise", aux_loss=True, aux_weight=[0.5, 0.5],
+        training_size=[crop, crop, crop], affine_pad_size=[30, 30, 30],
+        scale=[0.3, 0.3, 0.3], rotate=[30, 30, 30], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.5],
+        weight=[0.5] + [1.0] * 15, rlt=1,
+        optimizer="adamw", base_lr=1e-3, betas=[0.9, 0.999], weight_decay=0.05,
+        ema=True, ema_alpha=0.99, amp=True,
+        synthetic_cases=3,
+        synthetic_shape=[crop + 64, crop + 64, crop + 64],
+        batch_size=batch_size))
+
+    ds = get_dataset(cfg, mode="train", fold_idx=0)
+    pipe = TrainPipeline(ds, cfg, seed=0)
+    model = get_model(cfg)
+    state, tx = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        jnp.zeros((1, *pipe.crop_size, 1), jnp.float32))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    return cfg, pipe, state, step
+
+
+def run(batch_size: int, warmup: int = 3, iters: int = 10):
+    import jax
+
+    print(f"[bench] building (batch={batch_size})...", file=sys.stderr, flush=True)
+    cfg, pipe, state, step = build(batch_size)
+    lr = 1e-3
+    t0 = time.perf_counter()
+    for i in range(warmup):
+        img, lab = pipe.next_batch(batch_size)
+        state, loss = step(state, img, lab, lr)
+        jax.block_until_ready(loss)
+        print(f"[bench] warmup {i}: {time.perf_counter() - t0:.1f}s cumulative",
+              file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img, lab = pipe.next_batch(batch_size)
+        state, loss = step(state, img, lab, lr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "2,1").split(",")]
+    value = None
+    last_err = None
+    for b in batches:
+        try:
+            value = run(b)
+            break
+        except Exception as e:  # OOM fallback to a smaller batch
+            last_err = e
+            continue
+    if value is None:
+        raise SystemExit(f"bench failed: {last_err}")
+    print(json.dumps({
+        "metric": "aug_train_medformer3d_128c_volumes_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(value / BASELINE_VOLS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

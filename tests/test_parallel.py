@@ -1,0 +1,79 @@
+"""GSPMD tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import conftest as cf
+
+import jax
+import jax.numpy as jnp
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """Sharded and unsharded training must produce identical losses/params."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.models import get_model
+    from cbim_tpu.parallel.mesh import make_mesh
+    from cbim_tpu.training.train_state import create_train_state, make_train_step
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, base_chan=4, block="SingleConv", norm="in",
+        down_scale=[[1, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]],
+        kernel_size=[[1, 3, 3]] + [[3, 3, 3]] * 4,
+        weight=[0.5, 1, 1], rlt=1, optimizer="adamw", base_lr=1e-3,
+        betas=[0.9, 0.999], weight_decay=0.01, ema=True, ema_alpha=0.99,
+        training_size=[8, 16, 16]))
+
+    model = get_model(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(8, 8, 16, 16, 1), jnp.float32)
+    lab = jnp.asarray(rng.randint(0, 3, (8, 8, 16, 16)), jnp.int32)
+
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), img[:1])
+    step_fn = make_train_step(model, tx, cfg)
+
+    # single device, two steps
+    step1 = jax.jit(step_fn)
+    s1, loss1a = step1(state, img, lab, 1e-3)
+    s1, loss1b = step1(s1, img, lab, 1e-3)
+
+    # data parallel over the mesh
+    mesh = make_mesh(cfg)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    state2, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), img[:1])
+    state2 = jax.device_put(state2, repl)
+    step_sharded = jax.jit(step_fn, in_shardings=(repl, bsh, bsh, None),
+                           out_shardings=(repl, repl))
+    s2, loss2a = step_sharded(state2, jax.device_put(img, bsh),
+                              jax.device_put(lab, bsh), 1e-3)
+    s2, loss2b = step_sharded(s2, jax.device_put(img, bsh),
+                              jax.device_put(lab, bsh), 1e-3)
+
+    # losses identical step over step => same learning trajectory
+    assert abs(float(loss1a) - float(loss2a)) < 1e-5
+    assert abs(float(loss1b) - float(loss2b)) < 1e-4
+    # params agree up to Adam's first-step sign sensitivity (update ~ +-lr
+    # when |g| >> eps: fp32 reduction-order noise in the cross-shard grad sum
+    # can flip near-zero gradient signs, so tolerance is O(lr))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=3e-3)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as g
+    fn, (params, x) = g.entry()
+    out = jax.jit(fn)(params, x)
+    assert out.shape == (1, 8, 64, 64, 4)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
