@@ -32,6 +32,13 @@ def build(batch_size: int):
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the dominant cost on remote-compiled TPU
+    # backends is XLA compilation (~5 min for the 3D train step); cache it
+    # across bench invocations.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from cbim_tpu.config import config_from_dict
     from cbim_tpu.data import get_dataset
     from cbim_tpu.data.pipeline import TrainPipeline
@@ -69,7 +76,7 @@ def build(batch_size: int):
     return cfg, pipe, state, step
 
 
-def run(batch_size: int, warmup: int = 3, iters: int = 10):
+def run(batch_size: int, warmup: int = 2, iters: int = 20):
     import jax
 
     print(f"[bench] building (batch={batch_size})...", file=sys.stderr, flush=True)

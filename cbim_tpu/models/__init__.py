@@ -92,7 +92,8 @@ def get_model(cfg):
                 norm=cfg.norm, act=cfg.act,
                 kernel_size=tuple(map(tuple, _norm_scales(cfg.kernel_size, 5))),
                 scale=tuple(map(tuple, _norm_scales(cfg.down_scale, 4))),
-                aux_loss=cfg.aux_loss, dtype=dt)
+                aux_loss=cfg.aux_loss, remat=bool(cfg.get("remat", True)),
+                dtype=dt)
         if name == "unetr":
             from .unetr import UNETR
             return UNETR(num_classes=cfg.classes, img_size=tuple(cfg.training_size),

@@ -455,9 +455,16 @@ class UpBlockMF2D(nn.Module):
 
 
 class MedFormer3D(nn.Module):
-    """Reference model/dim3/medformer.py:11."""
+    """Reference model/dim3/medformer.py:11.
+
+    ``remat=True`` checkpoints each encoder/decoder stage (jax.checkpoint):
+    activations are recomputed in the backward pass instead of stored, which
+    is what lets 128^3 crops train on a single 16GB chip (HBM >> recompute
+    cost on TPU; the reference leans on AMP for the same reason).
+    """
     num_classes: int
     base_ch: int = 32
+    remat: bool = False
     map_size: Sequence[int] = (4, 8, 8)
     conv_block: str = "BasicBlock"
     conv_num: Sequence[int] = (2, 1, 0, 0, 0, 1, 2, 2)
@@ -489,37 +496,45 @@ class MedFormer3D(nn.Module):
                       map_size=tuple(self.map_size), proj_type=self.proj_type,
                       norm=self.norm, act=self.act, dtype=self.dtype)
 
-        x0 = InConvMF(self.base_ch, self.conv_block, ks[0], self.norm,
-                      self.act, dtype=self.dtype)(x, train)
-        x1, _ = DownBlockMF(cn[0], self.conv_num[0], self.trans_num[0],
-                            kernel_size=ks[1], down_scale=sc[0],
-                            map_generate=False, **common)(x0, train)
-        x2, map2 = DownBlockMF(cn[1], self.conv_num[1], self.trans_num[1],
-                               kernel_size=ks[2], down_scale=sc[1],
-                               heads=self.num_heads[1], dim_head=dim_head[1],
-                               map_generate=True, **common)(x1, train)
-        x3, map3 = DownBlockMF(cn[2], self.conv_num[2], self.trans_num[2],
-                               kernel_size=ks[3], down_scale=sc[2],
-                               heads=self.num_heads[2], dim_head=dim_head[2],
-                               map_generate=True, **common)(x2, train)
-        x4, map4 = DownBlockMF(cn[3], self.conv_num[3], self.trans_num[3],
-                               kernel_size=ks[4], down_scale=sc[3],
-                               heads=self.num_heads[3], dim_head=dim_head[3],
-                               map_generate=True, **common)(x3, train)
+        if self.remat:
+            # train flag is a static arg (index includes self at 0)
+            InC = nn.remat(InConvMF, static_argnums=(2,))
+            Down = nn.remat(DownBlockMF, static_argnums=(2,))
+            Up = nn.remat(UpBlockMF3D, static_argnums=(5,))
+        else:
+            InC, Down, Up = InConvMF, DownBlockMF, UpBlockMF3D
+
+        x0 = InC(self.base_ch, self.conv_block, ks[0], self.norm,
+                 self.act, dtype=self.dtype, name="inc")(x, train)
+        x1, _ = Down(cn[0], self.conv_num[0], self.trans_num[0],
+                     kernel_size=ks[1], down_scale=sc[0],
+                     map_generate=False, name="down1", **common)(x0, train)
+        x2, map2 = Down(cn[1], self.conv_num[1], self.trans_num[1],
+                        kernel_size=ks[2], down_scale=sc[1],
+                        heads=self.num_heads[1], dim_head=dim_head[1],
+                        map_generate=True, name="down2", **common)(x1, train)
+        x3, map3 = Down(cn[2], self.conv_num[2], self.trans_num[2],
+                        kernel_size=ks[3], down_scale=sc[2],
+                        heads=self.num_heads[2], dim_head=dim_head[2],
+                        map_generate=True, name="down3", **common)(x2, train)
+        x4, map4 = Down(cn[3], self.conv_num[3], self.trans_num[3],
+                        kernel_size=ks[4], down_scale=sc[3],
+                        heads=self.num_heads[3], dim_head=dim_head[3],
+                        map_generate=True, name="down4", **common)(x3, train)
 
         map_list = SemanticMapFusion(self.fusion_dim, self.fusion_heads,
                                      self.fusion_depth, dtype=self.dtype)(
                                          [map2, map3, map4], train)
 
-        out, smap = UpBlockMF3D(cn[4], self.conv_num[4], self.trans_num[4],
-                                kernel_size=ks[3], heads=self.num_heads[4],
-                                dim_head=dim_head[4], map_shortcut=True,
-                                **common)(x4, x3, map_list[2], map_list[1], train)
-        out, smap = UpBlockMF3D(cn[5], self.conv_num[5], self.trans_num[5],
-                                kernel_size=ks[2], heads=self.num_heads[5],
-                                dim_head=dim_head[5], map_shortcut=True,
-                                no_map_out=True, **common)(
-                                    out, x2, smap, map_list[0], train)
+        out, smap = Up(cn[4], self.conv_num[4], self.trans_num[4],
+                       kernel_size=ks[3], heads=self.num_heads[4],
+                       dim_head=dim_head[4], map_shortcut=True, name="up1",
+                       **common)(x4, x3, map_list[2], map_list[1], train)
+        out, smap = Up(cn[5], self.conv_num[5], self.trans_num[5],
+                       kernel_size=ks[2], heads=self.num_heads[5],
+                       dim_head=dim_head[5], map_shortcut=True,
+                       no_map_out=True, name="up2", **common)(
+                           out, x2, smap, map_list[0], train)
 
         aux_out = None
         if self.aux_loss:
@@ -527,12 +542,12 @@ class MedFormer3D(nn.Module):
                           kernel_init=torch_conv_init, dtype=self.dtype)(out)
             aux_out = resize_linear(aux, x.shape[1:-1]).astype(jnp.float32)
 
-        out, smap = UpBlockMF3D(cn[6], self.conv_num[6], self.trans_num[6],
-                                kernel_size=ks[1], map_shortcut=False,
-                                **common)(out, x1, smap, None, train)
-        out, smap = UpBlockMF3D(cn[7], self.conv_num[7], self.trans_num[7],
-                                kernel_size=ks[0], map_shortcut=False,
-                                **common)(out, x0, smap, None, train)
+        out, smap = Up(cn[6], self.conv_num[6], self.trans_num[6],
+                       kernel_size=ks[1], map_shortcut=False, name="up3",
+                       **common)(out, x1, smap, None, train)
+        out, smap = Up(cn[7], self.conv_num[7], self.trans_num[7],
+                       kernel_size=ks[0], map_shortcut=False, name="up4",
+                       **common)(out, x0, smap, None, train)
 
         out = nn.Conv(self.num_classes, (1, 1, 1), use_bias=True,
                       kernel_init=torch_conv_init, dtype=self.dtype)(out)

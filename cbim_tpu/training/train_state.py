@@ -32,24 +32,33 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, cfg, rng, sample_input) -> tuple[TrainState, Any]:
-    """Initialize parameters and optimizer; returns (state, tx)."""
+    """Initialize parameters and optimizer; returns (state, tx).
+
+    The whole initialization is ONE jitted program: flax's eager init would
+    otherwise dispatch one tiny XLA computation per parameter, which is
+    pathologically slow on remote-compiled TPU backends.
+    """
     from .optim import get_optimizer
 
-    variables = model.init({"params": rng}, sample_input, train=False)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
     tx = get_optimizer(cfg)
-    opt_state = tx.init(params)
-    ema = getattr(cfg, "ema", False)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=opt_state,
-        batch_stats=batch_stats,
-        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
-        ema_batch_stats=jax.tree.map(jnp.copy, batch_stats) if ema else None,
-    )
-    return state, tx
+    ema = bool(getattr(cfg, "ema", False))
+
+    @jax.jit
+    def _init(rng):
+        variables = model.init({"params": rng}, sample_input, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            batch_stats=batch_stats,
+            ema_params=jax.tree.map(jnp.array, params) if ema else None,
+            ema_batch_stats=jax.tree.map(jnp.array, batch_stats) if ema else None,
+        )
+
+    return _init(rng), tx
 
 
 def make_train_step(model, tx, cfg):
@@ -63,15 +72,14 @@ def make_train_step(model, tx, cfg):
 
     def loss_fn(params, batch_stats, img, lab):
         variables = {"params": params}
-        mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = model.apply(variables, img, train=True, mutable=mutable)
-        if mutable:
-            out, updated = out
+            out, updated = model.apply(variables, img, train=True,
+                                       mutable=["batch_stats"])
             new_stats = updated["batch_stats"]
         else:
+            # NOTE: mutable=[] would make flax return (out, {}) — do not pass it
+            out = model.apply(variables, img, train=True)
             new_stats = batch_stats
         outs = out if isinstance(out, (list, tuple)) else [out]
         if aux_weight is not None:
