@@ -111,7 +111,8 @@ def get_model(cfg):
                             deep_supervision=cfg.aux_loss, dtype=dt)
         if name == "vtunet":
             from .vtunet import VTUNet
-            return VTUNet(num_classes=cfg.classes, dtype=dt)
+            return VTUNet(num_classes=cfg.classes,
+                          patch_size=tuple(cfg.patch_size), dtype=dt)
 
     raise ValueError(f"unknown model {name!r} for dimension {dim!r}")
 

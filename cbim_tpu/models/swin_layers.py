@@ -107,7 +107,16 @@ def compute_attn_mask(spatial, window, shift) -> np.ndarray | None:
         sl = (slice(None), *idxs, slice(None))
         img[sl] = cnt
         cnt += 1
-    mask_windows = np.asarray(window_partition(jnp.asarray(img), window))[..., 0]
+    # pure-numpy window partition (must stay untraced under jit)
+    nd = len(spatial)
+    shape, perm_a, perm_b = [1], [], []
+    for i in range(nd):
+        shape += [spatial[i] // window[i], window[i]]
+        perm_a.append(1 + 2 * i)
+        perm_b.append(2 + 2 * i)
+    m = img.reshape(*shape, 1)
+    m = np.transpose(m, (0, *perm_a, *perm_b, m.ndim - 1))
+    mask_windows = m.reshape(-1, math.prod(window))
     diff = mask_windows[:, None, :] - mask_windows[:, :, None]
     attn_mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
     return attn_mask
