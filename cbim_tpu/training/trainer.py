@@ -81,6 +81,12 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         epoch_loss = AverageMeter("Loss", ":.2f")
         progress = ProgressMeter(iters, [batch_time, epoch_loss],
                                  prefix=f"Epoch: [{epoch + 1}]")
+
+        # profiler hook (SURVEY §5.1): one traced epoch when cfg.profile_dir set
+        profiling = bool(cfg.get("profile_dir")) and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(cfg.get("profile_dir"))
+
         tic = time.time()
         for it in range(iters):
             img, lab = pipeline.next_batch(cfg.batch_size)
@@ -92,6 +98,18 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                 progress.display(it)
             tic = time.time()
             global_step += 1
+
+        if profiling:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            logging.info("Profile trace written to %s", cfg.get("profile_dir"))
+
+        # throughput meter (volumes/sec/chip — the BASELINE.json north star)
+        if batch_time.count:
+            vols_per_sec = cfg.batch_size / max(batch_time.avg, 1e-9)
+            writer.add_scalar("Perf/volumes_per_sec_per_chip",
+                              vols_per_sec / max(jax.device_count(), 1),
+                              epoch + 1)
 
         writer.add_scalar("Train/Loss", epoch_loss.avg, epoch + 1)
         writer.add_scalar("LR", lr, epoch + 1)

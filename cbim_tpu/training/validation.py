@@ -38,7 +38,15 @@ def filter_validation_results(dice, asd, hd, cfg):
 
 
 def validate(model, variables, testset, cfg, compute_distance: bool = True):
-    """Returns (dice, asd, hd) arrays of length classes-1 (background excluded)."""
+    """Returns (dice, asd, hd) arrays of length classes-1 (background excluded).
+
+    Multi-host: each process evaluates a strided subset of the test volumes
+    and per-class sums are reduced with a host allgather — the GSPMD
+    equivalent of the reference's DistributedSampler + concat_all_gather +
+    padding-pop machinery (training/utils.py:110-145, validation.py:173-185),
+    without the padding bookkeeping (missing-class filtering already makes
+    per-class counts explicit).
+    """
     engine = make_engine(model, variables, cfg)
     C = cfg.classes
 
@@ -46,8 +54,14 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True):
     asd_acc = [[] for _ in range(C - 1)]
     hd_acc = [[] for _ in range(C - 1)]
 
+    import jax
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+
     logging.info("Evaluating (%d volumes)", len(testset))
     for idx in range(len(testset)):
+        if n_proc > 1 and idx % n_proc != proc:
+            continue
         img, lab, spacing = testset.test_item(idx)
 
         if cfg.dimension == "2d":
@@ -81,6 +95,20 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True):
                 dice_acc[cls].append(dice[cls])
                 asd_acc[cls].append(tmp_asd[cls])
                 hd_acc[cls].append(tmp_hd[cls])
+
+    if n_proc > 1:
+        # reduce per-class sums and counts across hosts
+        from jax.experimental import multihost_utils
+
+        def row(acc):
+            return np.array([[np.sum(d), len(d)] for d in acc], np.float64)
+
+        sums = np.stack([row(dice_acc), row(asd_acc), row(hd_acc)])
+        gathered = np.asarray(multihost_utils.process_allgather(sums))
+        total = gathered.sum(axis=0)      # (3, C-1, 2)
+        with np.errstate(invalid="ignore"):
+            out = total[..., 0] / total[..., 1]
+        return out[0], out[1], out[2]
 
     out_dice = np.array([np.mean(d) if d else np.nan for d in dice_acc])
     out_asd = np.array([np.mean(d) if d else np.nan for d in asd_acc])
