@@ -154,6 +154,15 @@ class TrainPipeline:
         # optional hook that places the host batch on the device mesh
         # (GSPMD data parallelism) before the augmentation program runs
         self._shard = batch_shard_fn or (lambda x: x)
+        # native threaded batch assembler (native/cbim_host.cpp); numpy
+        # fallback otherwise. 3D only (2D batches are tiny).
+        self._native = False
+        if self.ndim == 3:
+            try:
+                from . import native
+                self._native = native.available()
+            except Exception:
+                self._native = False
 
     # -- host side -----------------------------------------------------------
     def _window(self, img: np.ndarray, lab: np.ndarray):
@@ -174,8 +183,32 @@ class TrainPipeline:
         buf_lab[tuple(slices_dst)] = lab[tuple(slices_src)]
         return buf_img, buf_lab
 
+    def _window_coords(self, shape):
+        """[z0.., w.., off..] per axis with reference crop_3d randint bounds."""
+        starts, sizes, offs = [], [], []
+        for ax, b in enumerate(self.buffer_shape):
+            s = shape[ax]
+            w = min(b, s)
+            hi = max(s - w, 1)
+            start = int(self._rng.integers(0, hi)) if s > w else 0
+            starts.append(start)
+            sizes.append(w)
+            offs.append((b - w) // 2)
+        return starts, sizes, offs
+
     def host_batch(self, batch_size: int):
         idxs = self._rng.integers(0, len(self.ds.images), size=batch_size)
+        if self._native:
+            from . import native
+            images = [self.ds.images[i] for i in idxs]
+            labels = [self.ds.labels[i] for i in idxs]
+            wins = np.empty((batch_size, 9), np.int64)
+            for i, img in enumerate(images):
+                starts, sizes, offs = self._window_coords(img.shape)
+                wins[i] = starts + sizes + offs
+            di, dl = native.assemble_batch(images, labels, wins,
+                                           self.buffer_shape)
+            return di[..., None], dl
         imgs = np.empty((batch_size, *self.buffer_shape, 1), np.float32)
         labs = np.empty((batch_size, *self.buffer_shape), np.int32)
         for i, idx in enumerate(idxs):

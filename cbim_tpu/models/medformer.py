@@ -464,7 +464,7 @@ class MedFormer3D(nn.Module):
     """
     num_classes: int
     base_ch: int = 32
-    remat: bool = False
+    remat: Any = False      # False | True/'all' | 'highres'
     map_size: Sequence[int] = (4, 8, 8)
     conv_block: str = "BasicBlock"
     conv_num: Sequence[int] = (2, 1, 0, 0, 0, 1, 2, 2)
@@ -496,45 +496,54 @@ class MedFormer3D(nn.Module):
                       map_size=tuple(self.map_size), proj_type=self.proj_type,
                       norm=self.norm, act=self.act, dtype=self.dtype)
 
-        if self.remat:
-            # train flag is a static arg (index includes self at 0)
-            InC = nn.remat(InConvMF, static_argnums=(2,))
-            Down = nn.remat(DownBlockMF, static_argnums=(2,))
-            Up = nn.remat(UpBlockMF3D, static_argnums=(5,))
+        # remat ('all'): checkpoint every stage — max memory savings;
+        # 'highres': checkpoint only the full/half-resolution conv stages
+        # (cheap to recompute, dominate activation memory) and keep the
+        # low-res transformer stages stored — fewer recompute HBM passes.
+        InC_r = nn.remat(InConvMF, static_argnums=(2,))
+        Down_r = nn.remat(DownBlockMF, static_argnums=(2,))
+        Up_r = nn.remat(UpBlockMF3D, static_argnums=(5,))
+        if self.remat in (True, "all"):
+            InC, Down, Up = InC_r, Down_r, Up_r
+            DownLow, UpLow = Down_r, Up_r
+        elif self.remat == "highres":
+            InC, Down, Up = InC_r, Down_r, Up_r
+            DownLow, UpLow = DownBlockMF, UpBlockMF3D
         else:
             InC, Down, Up = InConvMF, DownBlockMF, UpBlockMF3D
+            DownLow, UpLow = DownBlockMF, UpBlockMF3D
 
         x0 = InC(self.base_ch, self.conv_block, ks[0], self.norm,
                  self.act, dtype=self.dtype, name="inc")(x, train)
         x1, _ = Down(cn[0], self.conv_num[0], self.trans_num[0],
                      kernel_size=ks[1], down_scale=sc[0],
                      map_generate=False, name="down1", **common)(x0, train)
-        x2, map2 = Down(cn[1], self.conv_num[1], self.trans_num[1],
-                        kernel_size=ks[2], down_scale=sc[1],
-                        heads=self.num_heads[1], dim_head=dim_head[1],
-                        map_generate=True, name="down2", **common)(x1, train)
-        x3, map3 = Down(cn[2], self.conv_num[2], self.trans_num[2],
-                        kernel_size=ks[3], down_scale=sc[2],
-                        heads=self.num_heads[2], dim_head=dim_head[2],
-                        map_generate=True, name="down3", **common)(x2, train)
-        x4, map4 = Down(cn[3], self.conv_num[3], self.trans_num[3],
-                        kernel_size=ks[4], down_scale=sc[3],
-                        heads=self.num_heads[3], dim_head=dim_head[3],
-                        map_generate=True, name="down4", **common)(x3, train)
+        x2, map2 = DownLow(cn[1], self.conv_num[1], self.trans_num[1],
+                           kernel_size=ks[2], down_scale=sc[1],
+                           heads=self.num_heads[1], dim_head=dim_head[1],
+                           map_generate=True, name="down2", **common)(x1, train)
+        x3, map3 = DownLow(cn[2], self.conv_num[2], self.trans_num[2],
+                           kernel_size=ks[3], down_scale=sc[2],
+                           heads=self.num_heads[2], dim_head=dim_head[2],
+                           map_generate=True, name="down3", **common)(x2, train)
+        x4, map4 = DownLow(cn[3], self.conv_num[3], self.trans_num[3],
+                           kernel_size=ks[4], down_scale=sc[3],
+                           heads=self.num_heads[3], dim_head=dim_head[3],
+                           map_generate=True, name="down4", **common)(x3, train)
 
         map_list = SemanticMapFusion(self.fusion_dim, self.fusion_heads,
                                      self.fusion_depth, dtype=self.dtype)(
                                          [map2, map3, map4], train)
 
-        out, smap = Up(cn[4], self.conv_num[4], self.trans_num[4],
-                       kernel_size=ks[3], heads=self.num_heads[4],
-                       dim_head=dim_head[4], map_shortcut=True, name="up1",
-                       **common)(x4, x3, map_list[2], map_list[1], train)
-        out, smap = Up(cn[5], self.conv_num[5], self.trans_num[5],
-                       kernel_size=ks[2], heads=self.num_heads[5],
-                       dim_head=dim_head[5], map_shortcut=True,
-                       no_map_out=True, name="up2", **common)(
-                           out, x2, smap, map_list[0], train)
+        out, smap = UpLow(cn[4], self.conv_num[4], self.trans_num[4],
+                          kernel_size=ks[3], heads=self.num_heads[4],
+                          dim_head=dim_head[4], map_shortcut=True, name="up1",
+                          **common)(x4, x3, map_list[2], map_list[1], train)
+        out, smap = UpLow(cn[5], self.conv_num[5], self.trans_num[5],
+                          kernel_size=ks[2], heads=self.num_heads[5],
+                          dim_head=dim_head[5], map_shortcut=True,
+                          no_map_out=True, name="up2", **common)(
+                              out, x2, smap, map_list[0], train)
 
         aux_out = None
         if self.aux_loss:
