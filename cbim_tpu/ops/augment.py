@@ -311,6 +311,35 @@ def random_crop_2d(img, lab, key, crop_size):
             lax.dynamic_slice(lab, (y, x), (ch, cw)))
 
 
+def crop_around_coordinate_3d(img, lab, key, crop_size, coordinate,
+                              mode: str = "random"):
+    """augmentation.py:346-382 — crop containing/near a given (z, y, x) point.
+
+    'random': start ~ randint over the clamped neighbourhood of the point;
+    'center': start places the point at the crop center (clamped in-bounds).
+    ``coordinate`` may be traced (e.g. a sampled foreground voxel).
+    """
+    import math as _math
+    D, H, W = img.shape[0], img.shape[1], img.shape[2]
+    cd, ch, cw = crop_size
+    z, y, x = coordinate
+    ks = jax.random.split(key, 3)
+    starts = []
+    for i, (p, c, s, k) in enumerate(zip((z, y, x), (cd, ch, cw),
+                                         (D, H, W), ks)):
+        if mode == "random":
+            lo = jnp.maximum(0, p - c)
+            hi = jnp.minimum(s - c, p + c)
+            hi = jnp.maximum(hi, lo + 1)
+            u = jax.random.randint(k, (), 0, 1 << 30)
+            starts.append(lo + u % (hi - lo))
+        else:
+            lo = jnp.maximum(0, p - (c + 1) // 2)
+            starts.append(jnp.minimum(lo, s - c))
+    return (lax.dynamic_slice(img, (*starts, 0), (cd, ch, cw, img.shape[3])),
+            lax.dynamic_slice(lab, tuple(starts), (cd, ch, cw)))
+
+
 def maybe(op, prob: float):
     """Per-sample Bernoulli gate around an image-only op (AMOS-style gates,
     reference dataset_amos_ct.py:141-153).  Returns fn(img, key)."""

@@ -1,0 +1,73 @@
+"""Numerical forward parity: torch reference weights loaded into our model.
+
+The strongest structural check possible without training: copy a reference
+UNet3D's weights into the Flax UNet3D (OIDHW -> DHWIO transposes) and require
+the forward outputs to agree to float tolerance on random inputs.  This
+validates conv padding, norm semantics, resize semantics, concat order, and
+block wiring end to end.
+"""
+import numpy as np
+import pytest
+
+import conftest as cf
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _t2f(w):
+    """torch conv weight (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)."""
+    return np.transpose(w.detach().numpy(), (2, 3, 4, 1, 0))
+
+
+def test_unet3d_forward_matches_torch_with_same_weights():
+    cf.add_reference_to_path()
+    from model.dim3.unet import UNet as RefUNet
+
+    from cbim_tpu.models.unet import UNet3D
+
+    scale = [[1, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]]
+    ksize = [[1, 3, 3], [3, 3, 3], [3, 3, 3], [3, 3, 3], [3, 3, 3]]
+    torch.manual_seed(0)
+    ref = RefUNet(1, 8, num_classes=4, scale=scale, kernel_size=ksize,
+                  block="SingleConv", norm="in").eval()
+
+    ours = UNet3D(num_classes=4, base_ch=8, scale=tuple(map(tuple, scale)),
+                  kernel_size=tuple(map(tuple, ksize)), block="SingleConv",
+                  norm="in")
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 8, 32, 32, 1)), train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    sd = ref.state_dict()
+
+    # inc
+    params["InConv_0"]["Conv_0"]["kernel"] = _t2f(sd["inc.conv1.weight"])
+    params["InConv_0"]["SingleConv_0"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
+        _t2f(sd["inc.conv2.conv.conv.weight"])
+    # down blocks: Sequential[MaxPool, SingleConv, SingleConv]
+    for i in range(4):
+        for j, seq in enumerate((1, 2)):
+            params[f"DownBlock_{i}"][f"SingleConv_{j}"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
+                _t2f(sd[f"down{i + 1}.conv.{seq}.conv.conv.weight"])
+    # up blocks: Sequential[SingleConv, SingleConv]
+    for i in range(4):
+        for j in range(2):
+            params[f"UpBlock3D_{i}"][f"SingleConv_{j}"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
+                _t2f(sd[f"up{i + 1}.conv.{j}.conv.conv.weight"])
+    # outc (1x1, with bias)
+    params["Conv_0"]["kernel"] = _t2f(sd["outc.weight"])
+    params["Conv_0"]["bias"] = sd["outc.bias"].detach().numpy()
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 8, 32, 32, 1).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
