@@ -19,7 +19,7 @@ every distinct test-volume shape compiles once and is reused every epoch.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

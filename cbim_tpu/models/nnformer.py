@@ -20,7 +20,7 @@ bias table layout matches the original.
 
 from __future__ import annotations
 
-import math
+
 from typing import Any, Sequence
 
 import numpy as np

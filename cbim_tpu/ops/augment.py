@@ -19,7 +19,7 @@ even though the RNG streams differ.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -319,7 +319,6 @@ def crop_around_coordinate_3d(img, lab, key, crop_size, coordinate,
     'center': start places the point at the crop center (clamped in-bounds).
     ``coordinate`` may be traced (e.g. a sampled foreground voxel).
     """
-    import math as _math
     D, H, W = img.shape[0], img.shape[1], img.shape[2]
     cd, ch, cw = crop_size
     z, y, x = coordinate

@@ -9,7 +9,7 @@ reference's naming: ``fold_<k>_latest.ckpt`` / ``fold_<k>_best.ckpt``.
 from __future__ import annotations
 
 import os
-from typing import Any
+
 
 import jax
 from flax import serialization

@@ -13,7 +13,7 @@ batch inputs; gradient all-reduce over the mesh is inserted by the compiler
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
