@@ -91,9 +91,12 @@ def run(batch_size: int, warmup: int = 2, iters: int = 20):
               file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img, lab = pipe.next_batch(batch_size)
+    img, lab = pipe.next_batch(batch_size)
+    for i in range(iters):
         state, loss = step(state, img, lab, lr)
+        if i + 1 < iters:
+            # prefetch: host+H2D for the next batch overlaps the device step
+            img, lab = pipe.next_batch(batch_size)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt

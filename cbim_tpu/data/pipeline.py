@@ -136,7 +136,19 @@ def build_sample_aug(recipe: AugRecipe, crop_size, ndim: int):
 
 
 class TrainPipeline:
-    """Host window sampler + jitted batched device augmentation."""
+    """Host window sampler + jitted batched device augmentation.
+
+    Two cache modes:
+    - host cache (default when large): volumes stay in host RAM; each step
+      copies the batch's precrop windows (native threaded assembler) and
+      transfers them to the device.
+    - device cache (auto when the padded corpus fits ``device_cache_bytes``,
+      default 4 GB): ALL volumes are padded to a common shape and parked in
+      HBM once; each step transfers only window offsets + PRNG keys (~KB) and
+      the crop happens on device with dynamic slices.  On remote/tunneled
+      devices this removes the per-step H2D serialization entirely (measured
+      0.6 s/step for 128^3 batches on the tunneled v5e).
+    """
 
     def __init__(self, dataset, cfg, seed: int = 0, batch_shard_fn=None):
         self.ds = dataset
@@ -163,6 +175,48 @@ class TrainPipeline:
                 self._native = native.available()
             except Exception:
                 self._native = False
+
+        # device cache (HBM-resident corpus). Disabled under explicit batch
+        # sharding (the cache would need mesh replication — host path then).
+        self._device_cache = None
+        mode = cfg.get("device_cache", "auto")
+        if mode in (True, "auto") and batch_shard_fn is None \
+                and len(dataset.images) > 0:
+            limit = int(cfg.get("device_cache_bytes", 4 << 30))
+            cache_shape = tuple(
+                max(max(im.shape[ax] for im in dataset.images),
+                    self.buffer_shape[ax]) for ax in range(self.ndim))
+            total = len(dataset.images) * int(np.prod(cache_shape)) * 5  # f32+i8
+            if mode is True or total <= limit:
+                self._init_device_cache(dataset, cache_shape)
+
+    def _init_device_cache(self, dataset, cache_shape):
+        n = len(dataset.images)
+        imgs = np.zeros((n, *cache_shape), np.float32)
+        labs = np.zeros((n, *cache_shape), np.int8)
+        for i, (im, lb) in enumerate(zip(dataset.images, dataset.labels)):
+            sl = tuple(slice(0, s) for s in im.shape)
+            imgs[(i, *sl)] = im
+            labs[(i, *sl)] = lb
+        self._cache_img = jnp.asarray(imgs)     # one-time H2D
+        self._cache_lab = jnp.asarray(labs)
+        self._vol_shapes = np.array([im.shape for im in dataset.images],
+                                    np.int64)
+        buf = self.buffer_shape
+
+        sample_fn = build_sample_aug(self.recipe, self.crop_size, self.ndim)
+
+        def gather_and_aug(cache_img, cache_lab, idx, start, key):
+            img = jax.lax.dynamic_slice(
+                cache_img, (idx, *[start[a] for a in range(self.ndim)]),
+                (1, *buf))[0][..., None]
+            lab = jax.lax.dynamic_slice(
+                cache_lab, (idx, *[start[a] for a in range(self.ndim)]),
+                (1, *buf))[0]
+            return sample_fn(img, lab, key)
+
+        self._device_cache = jax.jit(
+            jax.vmap(gather_and_aug, in_axes=(None, None, 0, 0, 0)))
 
     # -- host side -----------------------------------------------------------
     def _window(self, img: np.ndarray, lab: np.ndarray):
@@ -197,6 +251,8 @@ class TrainPipeline:
         return starts, sizes, offs
 
     def host_batch(self, batch_size: int):
+        """Labels travel as int8 (medical label sets are tiny): 4x less
+        host->device traffic than int32."""
         idxs = self._rng.integers(0, len(self.ds.images), size=batch_size)
         if self._native:
             from . import native
@@ -208,9 +264,9 @@ class TrainPipeline:
                 wins[i] = starts + sizes + offs
             di, dl = native.assemble_batch(images, labels, wins,
                                            self.buffer_shape)
-            return di[..., None], dl
+            return di[..., None], dl.astype(np.int8)
         imgs = np.empty((batch_size, *self.buffer_shape, 1), np.float32)
-        labs = np.empty((batch_size, *self.buffer_shape), np.int32)
+        labs = np.empty((batch_size, *self.buffer_shape), np.int8)
         for i, idx in enumerate(idxs):
             bi, bl = self._window(self.ds.images[idx], self.ds.labels[idx])
             imgs[i, ..., 0] = bi
@@ -219,10 +275,30 @@ class TrainPipeline:
 
     # -- device side ----------------------------------------------------------
     def next_batch(self, batch_size: int):
-        """Returns (img (B, *crop, 1) f32, lab (B, *crop) i32) on device."""
-        imgs, labs = self.host_batch(batch_size)
+        """Returns (img (B, *crop, 1) f32, lab (B, *crop) i32) on device.
+
+        Call AFTER dispatching the previous train step: the host window copy
+        and the H2D transfer then overlap the device compute (the dispatch is
+        async), which is what hides the transfer on tunneled/remote devices.
+        """
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, batch_size)
+        if self._device_cache is not None:
+            idxs = self._rng.integers(0, len(self.ds.images),
+                                      size=batch_size).astype(np.int32)
+            starts = np.zeros((batch_size, self.ndim), np.int32)
+            for i, idx in enumerate(idxs):
+                shape = self._vol_shapes[idx]
+                for ax, b in enumerate(self.buffer_shape):
+                    s = int(shape[ax])
+                    hi = max(s - b, 1)
+                    starts[i, ax] = int(self._rng.integers(0, hi)) if s > b else 0
+            img, lab = self._device_cache(self._cache_img, self._cache_lab,
+                                          jnp.asarray(idxs),
+                                          jnp.asarray(starts), keys)
+            return img, lab.astype(jnp.int32)
+
+        imgs, labs = self.host_batch(batch_size)
         img, lab = self._aug(self._shard(jnp.asarray(imgs)),
                              self._shard(jnp.asarray(labs)), self._shard(keys))
-        return img, lab
+        return img, lab.astype(jnp.int32)

@@ -50,7 +50,18 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logging.info("Created Model (%s, %.2fM params)", cfg.model, n_params / 1e6)
 
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=0)
+    step_fn = make_train_step(model, tx, cfg)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        bsh_img = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, repl)
+        train_step = jax.jit(step_fn,
+                             in_shardings=(repl, bsh_img, bsh_img, None),
+                             out_shardings=(repl, repl),
+                             donate_argnums=0)
+    else:
+        train_step = jax.jit(step_fn, donate_argnums=0)
 
     ckpt_dir = os.path.join(cfg.cp_path, cfg.dataset, cfg.unique_name)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -88,9 +99,12 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
             jax.profiler.start_trace(cfg.get("profile_dir"))
 
         tic = time.time()
+        img, lab = pipeline.next_batch(cfg.batch_size)
         for it in range(iters):
-            img, lab = pipeline.next_batch(cfg.batch_size)
             state, loss = train_step(state, img, lab, lr)
+            if it + 1 < iters:
+                # prefetch: host work + H2D overlap the dispatched step
+                img, lab = pipeline.next_batch(cfg.batch_size)
             if it % cfg.print_freq == 0:
                 # loss fetch syncs the device; only pay it when printing
                 epoch_loss.update(float(loss), cfg.batch_size)

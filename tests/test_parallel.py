@@ -67,6 +67,32 @@ def test_data_parallel_train_step_matches_single_device():
                                    rtol=0.1, atol=3e-3)
 
 
+def test_train_net_over_mesh(tmp_path):
+    """Full trainer (data-parallel GSPMD) end-to-end on the 8-device mesh."""
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.parallel.mesh import make_mesh
+    from cbim_tpu.training.trainer import train_net
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, base_chan=4, block="SingleConv", norm="in",
+        down_scale=[[1, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]],
+        kernel_size=[[1, 3, 3]] + [[3, 3, 3]] * 4,
+        training_size=[8, 16, 16], synthetic_cases=5,
+        synthetic_shape=[10, 24, 24], affine_pad_size=[2, 4, 4],
+        scale=[0.1, 0.2, 0.2], rotate=[10, 0, 0], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.4], optimizer="adamw", base_lr=1e-3,
+        betas=[0.9, 0.999], weight_decay=0.01, weight=[0.5, 1, 1], rlt=1,
+        epochs=2, iter_per_epoch=2, print_freq=10, batch_size=8, ema=True,
+        ema_alpha=0.99, val_freq=2, sliding_window=True,
+        window_size=[8, 16, 16], k_fold=5, cp_path=str(tmp_path / "exp"),
+        log_path=str(tmp_path / "log"), unique_name="m"))
+    mesh = make_mesh(cfg)
+    dice, asd, hd = train_net(cfg, 0, mesh=mesh)
+    assert dice.shape == (2,) and np.all(np.isfinite(dice))
+
+
 def test_graft_entry_single():
     import __graft_entry__ as g
     fn, (params, x) = g.entry()
