@@ -120,12 +120,13 @@ def build_sample_aug(recipe: AugRecipe, crop_size, ndim: int):
             take = jax.random.bernoulli(k_branch, recipe.affine_prob)
             theta = jnp.where(take, theta, eye)
 
+        # the center crop is fused into the resample: only the central
+        # crop_size output region is computed (exactly equivalent to
+        # resample-then-crop, ~((ts+pad)/ts)^3 x less gather work)
         if ndim == 3:
-            img, lab = affine_sample_3d(img, lab, theta)
-            img, lab = A.center_crop_3d(img, lab, crop_size)
+            img, lab = affine_sample_3d(img, lab, theta, out_shape=crop_size)
         else:
-            img, lab = affine_sample_2d(img, lab, theta)
-            img, lab = A.center_crop_2d(img, lab, crop_size)
+            img, lab = affine_sample_2d(img, lab, theta, out_shape=crop_size)
 
         for (name, prob, params) in recipe.post_ops:
             img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
@@ -198,7 +199,11 @@ class TrainPipeline:
             sl = tuple(slice(0, s) for s in im.shape)
             imgs[(i, *sl)] = im
             labs[(i, *sl)] = lb
-        self._cache_img = jnp.asarray(imgs)     # one-time H2D
+        # bf16 cache by default: halves HBM footprint and the resample's
+        # gather traffic; ~0.4% quantization, far below the augmentation
+        # noise floor (gaussian_noise_std ~2%).  cache_dtype: float32 opts out.
+        cache_dtype = jnp.dtype(self.cfg.get("cache_dtype", "bfloat16"))
+        self._cache_img = jnp.asarray(imgs, dtype=cache_dtype)  # one-time H2D
         self._cache_lab = jnp.asarray(labs)
         self._vol_shapes = np.array([im.shape for im in dataset.images],
                                     np.int64)

@@ -38,19 +38,35 @@ def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
 
 
 def affine_sample_3d(img: jax.Array, lab: jax.Array, theta: jax.Array,
-                     label_nearest: bool = True):
+                     label_nearest: bool = True, out_shape=None,
+                     out_offset=None):
     """Resample one volume pair through an affine map.
 
     img: (D, H, W, C) float; lab: (D, H, W) int; theta: (3, 4) float32.
-    Returns (img_out, lab_out) of the same shapes; out-of-range samples are 0.
+    Returns (img_out, lab_out); out-of-range samples are 0.
+
+    ``out_shape``/``out_offset`` restrict the computed output to a sub-box of
+    the full output grid (coordinates still normalized over the FULL input
+    extent) — exactly equivalent to resampling everything and then slicing
+    ``out[off:off+shape]``, at a fraction of the gather work.  This is how
+    the training pipeline fuses its center crop into the resample.
     """
     D, H, W = img.shape[0], img.shape[1], img.shape[2]
+    if out_shape is None:
+        out_shape = (D, H, W)
+    if out_offset is None:
+        out_offset = tuple((full - o) // 2 for full, o in
+                           zip((D, H, W), out_shape))
 
-    xs = _normalized_coords(W)            # x ~ W axis
-    ys = _normalized_coords(H)            # y ~ H axis
-    zs = _normalized_coords(D)            # z ~ D axis
+    def coords(size, out_size, off):
+        full = _normalized_coords(size)
+        return jax.lax.dynamic_slice_in_dim(full, off, out_size)
 
-    # output grid, broadcast to (D, H, W)
+    zs = coords(D, out_shape[0], out_offset[0])
+    ys = coords(H, out_shape[1], out_offset[1])
+    xs = coords(W, out_shape[2], out_offset[2])
+
+    # output grid, broadcast to out_shape
     z = zs[:, None, None]
     y = ys[None, :, None]
     x = xs[None, None, :]
@@ -125,14 +141,22 @@ def _nearest_gather(lab: jax.Array, fz, fy, fx) -> jax.Array:
 
 
 def affine_sample_2d(img: jax.Array, lab: jax.Array, theta: jax.Array,
-                     label_nearest: bool = True):
+                     label_nearest: bool = True, out_shape=None,
+                     out_offset=None):
     """2D twin of :func:`affine_sample_3d`.
 
     img: (H, W, C); lab: (H, W); theta: (2, 3), rows (x, y) = (W, H axes).
     """
     H, W = img.shape[0], img.shape[1]
-    xs = _normalized_coords(W)
-    ys = _normalized_coords(H)
+    if out_shape is None:
+        out_shape = (H, W)
+    if out_offset is None:
+        out_offset = tuple((full - o) // 2 for full, o in
+                           zip((H, W), out_shape))
+    ys = jax.lax.dynamic_slice_in_dim(_normalized_coords(H), out_offset[0],
+                                      out_shape[0])
+    xs = jax.lax.dynamic_slice_in_dim(_normalized_coords(W), out_offset[1],
+                                      out_shape[1])
     y = ys[:, None]
     x = xs[None, :]
 
