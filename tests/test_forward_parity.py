@@ -39,27 +39,10 @@ def test_unet3d_forward_matches_torch_with_same_weights():
                   norm="in")
     variables = ours.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((1, 8, 32, 32, 1)), train=False)
-    params = jax.tree_util.tree_map(np.asarray, variables["params"])
 
-    sd = ref.state_dict()
-
-    # inc
-    params["InConv_0"]["Conv_0"]["kernel"] = _t2f(sd["inc.conv1.weight"])
-    params["InConv_0"]["SingleConv_0"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
-        _t2f(sd["inc.conv2.conv.conv.weight"])
-    # down blocks: Sequential[MaxPool, SingleConv, SingleConv]
-    for i in range(4):
-        for j, seq in enumerate((1, 2)):
-            params[f"DownBlock_{i}"][f"SingleConv_{j}"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
-                _t2f(sd[f"down{i + 1}.conv.{seq}.conv.conv.weight"])
-    # up blocks: Sequential[SingleConv, SingleConv]
-    for i in range(4):
-        for j in range(2):
-            params[f"UpBlock3D_{i}"][f"SingleConv_{j}"]["ConvNormAct_0"]["Conv_0"]["kernel"] = \
-                _t2f(sd[f"up{i + 1}.conv.{j}.conv.conv.weight"])
-    # outc (1x1, with bias)
-    params["Conv_0"]["kernel"] = _t2f(sd["outc.weight"])
-    params["Conv_0"]["bias"] = sd["outc.bias"].detach().numpy()
+    from cbim_tpu.utils.torch_import import import_unet
+    params = import_unet(ref.state_dict(), variables["params"],
+                         block="SingleConv", dimension="3d")
 
     rng = np.random.RandomState(1)
     x = rng.randn(2, 8, 32, 32, 1).astype(np.float32)
@@ -68,6 +51,37 @@ def test_unet3d_forward_matches_torch_with_same_weights():
         ref_out = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
     ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
 
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_resunet3d_forward_matches_torch_with_same_weights():
+    """BasicBlock (ResUNet) transplant via the import utility."""
+    cf.add_reference_to_path()
+    from model.dim3.unet import UNet as RefUNet
+
+    from cbim_tpu.models.unet import UNet3D
+    from cbim_tpu.utils.torch_import import import_unet
+
+    scale = [[2, 2, 2]] * 4
+    ksize = [[3, 3, 3]] * 5
+    torch.manual_seed(1)
+    ref = RefUNet(1, 8, num_classes=3, scale=scale, kernel_size=ksize,
+                  block="BasicBlock", norm="in").eval()
+    ours = UNet3D(num_classes=3, base_ch=8, scale=tuple(map(tuple, scale)),
+                  kernel_size=tuple(map(tuple, ksize)), block="BasicBlock",
+                  norm="in")
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 32, 32, 32, 1)), train=False)
+    params = import_unet(ref.state_dict(), variables["params"],
+                         block="BasicBlock", dimension="3d")
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 32, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
                                 train=False))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)

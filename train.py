@@ -68,6 +68,13 @@ def main():
                       config_root=args.config_root, **overrides)
     if args.epochs is not None:
         cfg.epochs = args.epochs
+    if cfg.pretrain:
+        # the reference loads torch/npz checkpoints for transunet/swinunet/
+        # vtunet/swin_unetr from hardcoded internal paths (model/utils.py);
+        # torch->flax weight import is demonstrated in
+        # tests/test_forward_parity.py but not yet wired as initialization.
+        logging.warning("--pretrain: external pretrained initialization is "
+                        "not yet supported; training from scratch")
 
     if cfg.reproduce_seed is not None:
         random.seed(cfg.reproduce_seed)
