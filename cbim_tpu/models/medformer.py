@@ -127,8 +127,10 @@ class BidirectionAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, semantic_map, train: bool = False):
-        feat = Norm(self.norm, dtype=self.dtype)(x, train)
-        mapp = Norm(self.norm, dtype=self.dtype)(semantic_map, train)
+        # the reference constructs these norms WITHOUT the eps=1e-4 override
+        # used in ConvNormAct (medformer_utils.py:112-113) -> torch default
+        feat = Norm(self.norm, eps=1e-5, dtype=self.dtype)(x, train)
+        mapp = Norm(self.norm, eps=1e-5, dtype=self.dtype)(semantic_map, train)
 
         out, map_out = BidirectionAttention(
             self.map_dim, self.out_dim, self.heads, self.dim_head,
@@ -184,7 +186,8 @@ class PatchMerging(nn.Module):
                 for i in range(scale[0]):
                     merged.append(x[:, i::scale[0], j::scale[1], :])
         x = jnp.concatenate(merged, axis=-1)
-        x = Norm(self.norm, dtype=self.dtype)(x, train)
+        # torch-default eps (reference PatchMerging norm, medformer_utils.py:158)
+        x = Norm(self.norm, eps=1e-5, dtype=self.dtype)(x, train)
         if self.proj_type == "linear":
             x = nn.Conv(self.out_dim, (1,) * nd, use_bias=False,
                         kernel_init=torch_conv_init, dtype=self.dtype)(x)

@@ -35,6 +35,163 @@ def _to_np(state_dict):
     return out
 
 
+def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
+    """B-MHA channel permutation: the reference's rearrange1 splits the inner
+    channels dim-head-major (medformer_utils.py:43-51, view(b, dim_head,
+    heads, -1)); ours splits head-major.  mine[c] = torch[perm[c]]."""
+    perm = np.empty(heads * dim_head, np.int64)
+    for d in range(dim_head):
+        for h in range(heads):
+            perm[h * dim_head + d] = d * heads + h
+    return perm
+
+
+def import_medformer3d(state_dict, params, conv_num, trans_num, num_heads,
+                       chan_num, fusion_depth: int = 2):
+    """Map reference model/dim3/medformer.py weights onto our MedFormer3D.
+
+    Assumes the shipped config family: conv_block=BasicBlock,
+    proj_type=depthwise, norm='in' (parameter-free), aux_loss on.
+    Verified numerically in tests/test_forward_parity.py.
+    """
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+    dim_head = [chan_num[i] // num_heads[i] for i in range(8)]
+
+    def put(node_path, torch_key, is_conv=True, transform=None):
+        node = p
+        for part in node_path[:-1]:
+            node = node[part]
+        w = sd[torch_key]
+        if transform is not None:
+            w = transform(w)
+        w = conv_to_flax(w) if is_conv else np.asarray(w)
+        assert node[node_path[-1]].shape == w.shape, \
+            (node_path, torch_key, node[node_path[-1]].shape, w.shape)
+        node[node_path[-1]] = w
+
+    def basic_block(prefix, tkey, has_shortcut):
+        put((*prefix, "ConvNormAct_0", "Conv_0", "kernel"), f"{tkey}.conv1.conv.weight")
+        put((*prefix, "ConvNormAct_1", "Conv_0", "kernel"), f"{tkey}.conv2.conv.weight")
+        if has_shortcut:
+            put((*prefix, "ConvNormAct_2", "Conv_0", "kernel"),
+                f"{tkey}.shortcut.conv.weight")
+
+    def dwsep(prefix, tkey, out_perm=None, in_perm=None):
+        def dw(w):
+            return w[in_perm] if in_perm is not None else w
+        def pw(w):
+            if out_perm is not None:
+                w = w[out_perm]
+            if in_perm is not None:
+                w = w[:, in_perm]
+            return w
+        put((*prefix, "Conv_0", "kernel"), f"{tkey}.depthwise.weight", transform=dw)
+        put((*prefix, "Conv_1", "kernel"), f"{tkey}.pointwise.weight", transform=pw)
+
+    def mbconv(prefix, tkey):
+        put((*prefix, "ConvNormAct_0", "Conv_0", "kernel"), f"{tkey}.expand_proj.conv.weight")
+        put((*prefix, "ConvNormAct_1", "Conv_0", "kernel"), f"{tkey}.depthwise.conv.weight")
+        put((*prefix, "SEBlock_0", "Conv_0", "kernel"), f"{tkey}.se.excitation.0.weight")
+        p_ = p
+        for part in (*prefix, "SEBlock_0"):
+            p_ = p_[part]
+        p_["Conv_0"]["bias"] = sd[f"{tkey}.se.excitation.0.bias"]
+        put((*prefix, "SEBlock_0", "Conv_1", "kernel"), f"{tkey}.se.excitation.2.weight")
+        p_["Conv_1"]["bias"] = sd[f"{tkey}.se.excitation.2.bias"]
+        put((*prefix, "ConvNormAct_2", "Conv_0", "kernel"), f"{tkey}.pointwise.conv.weight")
+
+    def bmha_block(prefix, tkey, heads, dh, has_shortcut, no_map_out=False):
+        inner = heads * dh
+        perm = _bmha_perm(heads, dh)
+        qv_perm = np.concatenate([perm, inner + perm])
+        attn = (*prefix, "BidirectionAttention_0")
+        dwsep((*attn, "DepthwiseSeparableConv_0"), f"{tkey}.attn.feat_qv",
+              out_perm=qv_perm)
+        put((*attn, "Conv_0", "kernel"), f"{tkey}.attn.map_qv.weight",
+            transform=lambda w: w[qv_perm])
+        dwsep((*attn, "DepthwiseSeparableConv_1"), f"{tkey}.attn.feat_out",
+              in_perm=perm)
+        if not no_map_out:
+            put((*attn, "Conv_1", "kernel"), f"{tkey}.attn.map_out.weight",
+                transform=lambda w: w[:, perm])
+        if has_shortcut:
+            put((*prefix, "ConvNormAct_0", "Conv_0", "kernel"),
+                f"{tkey}.shortcut.conv.weight")
+        mbconv((*prefix, "MBConv_0"), f"{tkey}.feedforward")
+
+    # --- encoder -----------------------------------------------------------
+    put(("inc", "Conv_0", "kernel"), "inc.conv1.weight")
+    basic_block(("inc", "BasicBlock_0"), "inc.conv2", False)
+
+    for i in range(4):
+        name = f"down{i + 1}"
+        dwsep((name, "PatchMerging_0", "DepthwiseSeparableConv_0"),
+              f"{name}.patch_merging.reduction")
+        for j in range(conv_num[i]):
+            basic_block((name, f"BasicBlock_{j}"), f"{name}.conv_blocks.{j}", False)
+        if i > 0:
+            put((name, "SemanticMapGeneration_0", "Conv_0", "kernel"),
+                f"{name}.map_gen.base_proj.weight")
+            put((name, "SemanticMapGeneration_0", "Conv_1", "kernel"),
+                f"{name}.map_gen.semantic_proj.weight")
+        for j in range(trans_num[i]):
+            bmha_block((name, "BasicLayer_0", f"BidirectionAttentionBlock_{j}"),
+                       f"{name}.trans_blocks.blocks.{j}",
+                       num_heads[i], dim_head[i], has_shortcut=False)
+
+    # --- map fusion ----------------------------------------------------------
+    mf = "SemanticMapFusion_0"
+    for i in range(3):
+        put((mf, f"Conv_{i}", "kernel"), f"map_fusion.in_proj.{i}.weight")
+        put((mf, f"Conv_{i + 3}", "kernel"), f"map_fusion.out_proj.{i}.weight")
+    tb = (mf, "TransformerBlock_0")
+    for d in range(fusion_depth):
+        base = f"map_fusion.fusion.layers.{d}"
+        node = p[mf]["TransformerBlock_0"]
+        node[f"LayerNorm_{2 * d}"]["scale"] = sd[f"{base}.0.norm.weight"]
+        node[f"LayerNorm_{2 * d}"]["bias"] = sd[f"{base}.0.norm.bias"]
+        put((*tb, f"Attention_{d}", "Dense_0", "kernel"),
+            f"{base}.0.fn.to_qkv.weight", is_conv=False,
+            transform=linear_to_flax)
+        put((*tb, f"Attention_{d}", "Dense_1", "kernel"),
+            f"{base}.0.fn.to_out.weight", is_conv=False,
+            transform=linear_to_flax)
+        node[f"Attention_{d}"]["Dense_1"]["bias"] = sd[f"{base}.0.fn.to_out.bias"]
+        node[f"LayerNorm_{2 * d + 1}"]["scale"] = sd[f"{base}.1.norm.weight"]
+        node[f"LayerNorm_{2 * d + 1}"]["bias"] = sd[f"{base}.1.norm.bias"]
+        put((*tb, f"Mlp_{d}", "Dense_0", "kernel"), f"{base}.1.fn.fc1.weight",
+            is_conv=False, transform=linear_to_flax)
+        node[f"Mlp_{d}"]["Dense_0"]["bias"] = sd[f"{base}.1.fn.fc1.bias"]
+        put((*tb, f"Mlp_{d}", "Dense_1", "kernel"), f"{base}.1.fn.fc2.weight",
+            is_conv=False, transform=linear_to_flax)
+        node[f"Mlp_{d}"]["Dense_1"]["bias"] = sd[f"{base}.1.fn.fc2.bias"]
+
+    # --- decoder -------------------------------------------------------------
+    for u in range(4):
+        name = f"up{u + 1}"
+        stage = 4 + u
+        if u < 2:   # map shortcut
+            put((name, "Conv_0", "kernel"), f"{name}.map_reduction.weight")
+        for j in range(trans_num[stage]):
+            no_mo = (u == 1 and j == trans_num[stage] - 1)   # up2 last: no_map_out
+            bmha_block((name, "BasicLayer_0", f"BidirectionAttentionBlock_{j}"),
+                       f"{name}.trans_blocks.blocks.{j}",
+                       num_heads[stage], dim_head[stage],
+                       has_shortcut=(j == 0), no_map_out=no_mo)
+        for j in range(conv_num[stage]):
+            basic_block((name, f"BasicBlock_{j}"), f"{name}.conv_blocks.{j}",
+                        has_shortcut=(j == 0))
+
+    # aux + out heads (created in that order -> Conv_0, Conv_1)
+    put(("Conv_0", "kernel"), "aux_out.weight")
+    p["Conv_0"]["bias"] = sd["aux_out.bias"]
+    put(("Conv_1", "kernel"), "outc.weight")
+    p["Conv_1"]["bias"] = sd["outc.bias"]
+    return p
+
+
 def import_unet(state_dict, params, block: str = "SingleConv",
                 dimension: str = "3d"):
     """Map reference model/dim{2,3}/unet.py weights onto our UNet params.

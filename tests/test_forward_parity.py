@@ -56,6 +56,51 @@ def test_unet3d_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+def test_medformer3d_forward_matches_torch_with_same_weights():
+    """FLAGSHIP numerical parity: reference MedFormer weights transplanted."""
+    cf.add_reference_to_path()
+    from model.dim3.medformer import MedFormer as RefMedFormer
+
+    from cbim_tpu.models.medformer import MedFormer3D
+    from cbim_tpu.utils.torch_import import import_medformer3d
+
+    kw = dict(map_size=[2, 4, 4], conv_num=[2, 0, 0, 0, 0, 0, 2, 2],
+              trans_num=[0, 2, 2, 2, 2, 2, 0, 0],
+              chan_num=[16, 32, 64, 80, 64, 32, 16, 8],
+              num_heads=[1, 4, 4, 4, 4, 4, 1, 1], fusion_depth=2,
+              fusion_dim=64, fusion_heads=4,
+              kernel_size=[[1, 3, 3], [1, 3, 3], [3, 3, 3], [3, 3, 3], [3, 3, 3]],
+              scale=[[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]], aux_loss=True)
+    torch.manual_seed(3)
+    ref = RefMedFormer(1, 4, 8, conv_block="BasicBlock", norm="in", act="gelu",
+                       **kw).eval()
+    ours = MedFormer3D(num_classes=4, base_ch=8, conv_block="BasicBlock",
+                       norm="in", act="gelu",
+                       map_size=tuple(kw["map_size"]),
+                       conv_num=tuple(kw["conv_num"]),
+                       trans_num=tuple(kw["trans_num"]),
+                       chan_num=tuple(kw["chan_num"]),
+                       num_heads=tuple(kw["num_heads"]),
+                       fusion_depth=2, fusion_dim=64, fusion_heads=4,
+                       kernel_size=tuple(map(tuple, kw["kernel_size"])),
+                       scale=tuple(map(tuple, kw["scale"])), aux_loss=True)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 8, 32, 32, 1)), train=False)
+    params = import_medformer3d(ref.state_dict(), variables["params"],
+                                kw["conv_num"], kw["trans_num"],
+                                kw["num_heads"], kw["chan_num"])
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 8, 32, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    outs = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    for ref_o, o in zip(ref_outs, outs):
+        ref_np = np.transpose(ref_o.numpy(), (0, 2, 3, 4, 1))
+        # fp32 accumulation noise through 10 attention/conv stages
+        np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
+
+
 def test_resunet3d_forward_matches_torch_with_same_weights():
     """BasicBlock (ResUNet) transplant via the import utility."""
     cf.add_reference_to_path()
