@@ -32,14 +32,14 @@ class AttentionGate(nn.Module):
         nd = g.ndim - 2
         g1 = nn.Conv(self.int_ch, (1,) * nd, use_bias=False,
                      kernel_init=torch_conv_init, dtype=self.dtype)(g)
-        g1 = Norm("in", dtype=self.dtype)(g1, train)
+        g1 = Norm("in", eps=1e-5, dtype=self.dtype)(g1, train)
         x1 = nn.Conv(self.int_ch, (1,) * nd, use_bias=False,
                      kernel_init=torch_conv_init, dtype=self.dtype)(x)
-        x1 = Norm("in", dtype=self.dtype)(x1, train)
+        x1 = Norm("in", eps=1e-5, dtype=self.dtype)(x1, train)
         psi = jax.nn.relu(g1 + x1)
         psi = nn.Conv(1, (1,) * nd, use_bias=False,
                       kernel_init=torch_conv_init, dtype=self.dtype)(psi)
-        psi = Norm("in", dtype=self.dtype)(psi, train)
+        psi = Norm("in", eps=1e-5, dtype=self.dtype)(psi, train)
         return x * jax.nn.sigmoid(psi)
 
 

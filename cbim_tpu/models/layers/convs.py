@@ -111,7 +111,9 @@ class ConvNormAct(nn.Module):
                        padding=[(pi, pi) for pi in p], kernel_dilation=d,
                        feature_group_count=self.groups, use_bias=self.use_bias,
                        kernel_init=torch_conv_init, dtype=self.dtype)
-        norm = Norm(self.norm, dtype=self.dtype)
+        # reference dim3 ConvNormAct passes eps=1e-4 (conv_layers.py:40-42);
+        # the dim2 twin relies on the torch default 1e-5
+        norm = Norm(self.norm, eps=1e-4 if nd == 3 else 1e-5, dtype=self.dtype)
         act = get_act(self.act)
         if self.preact:
             return conv(act(norm(x, train)))

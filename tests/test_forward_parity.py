@@ -56,6 +56,33 @@ def test_unet3d_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+def test_unet2d_forward_matches_torch_with_same_weights():
+    """2D path parity: scale-factor-2 bilinear decoder, BN eval semantics."""
+    cf.add_reference_to_path()
+    from model.dim2.unet import UNet as RefUNet2D
+
+    from cbim_tpu.models.unet import UNet2D
+    from cbim_tpu.utils.torch_import import import_unet
+
+    torch.manual_seed(5)
+    ref = RefUNet2D(1, 4, base_ch=8, block="SingleConv").eval()
+    ours = UNet2D(num_classes=4, base_ch=8, block="SingleConv", norm="bn")
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 64, 64, 1)), train=False)
+    params = import_unet(ref.state_dict(), variables["params"],
+                         block="SingleConv", dimension="2d")
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    out = np.asarray(ours.apply(
+        {"params": params, "batch_stats": variables.get("batch_stats", {})},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
 def test_medformer3d_forward_matches_torch_with_same_weights():
     """FLAGSHIP numerical parity: reference MedFormer weights transplanted."""
     cf.add_reference_to_path()
