@@ -271,20 +271,22 @@ class NNFormer(nn.Module):
         dpr_dec = [float(v) for v in np.linspace(0, self.drop_path_rate,
                                                  sum(dec_depths))]
 
+        # the reference builds decoder.layers REVERSED and iterates them
+        # back-to-front (nnformer.py:829-869): the coarsest stage (our j=0)
+        # is the layer constructed with i_layer=0, i.e. dec list index j.
         outs = []
         h = skips[-1]
         for j in range(len(dec_depths)):             # j=0 coarsest up stage
-            i_layer = len(dec_depths) - 1 - j        # reference layer index
             x_up = _PatchExpandingNF(dtype=self.dtype)(h)
             skip = skips[len(dec_depths) - 1 - j]
             summed = x_up + skip
-            dp = dpr_dec[sum(dec_depths[:i_layer]):sum(dec_depths[:i_layer + 1])]
-            h = _NFBlock(dec_heads[i_layer], dec_windows[i_layer], 0,
+            dp = dpr_dec[sum(dec_depths[:j]):sum(dec_depths[:j + 1])]
+            h = _NFBlock(dec_heads[j], dec_windows[j], 0,
                          kv_mode=True, drop_path=dp[0], dtype=self.dtype)(
                              summed, skip=skip, x_up=x_up, train=train)
-            for b in range(dec_depths[i_layer] - 1):
-                h = _NFBlock(dec_heads[i_layer], dec_windows[i_layer],
-                             dec_windows[i_layer] // 2,
+            for b in range(dec_depths[j] - 1):
+                h = _NFBlock(dec_heads[j], dec_windows[j],
+                             dec_windows[j] // 2,
                              drop_path=dp[b + 1], dtype=self.dtype)(
                                  h, train=train)
             outs.append(h)

@@ -192,6 +192,98 @@ def import_medformer3d(state_dict, params, conv_num, trans_num, num_heads,
     return p
 
 
+def convtranspose_to_flax(w) -> np.ndarray:
+    """torch ConvTranspose (I, O, *k) -> flax (*k, I, O) with spatial FLIP
+    (torch's transposed conv is the conv adjoint; flax's is a fractionally
+    strided correlation)."""
+    w = np.asarray(w)
+    nd = w.ndim
+    w = np.transpose(w, (*range(2, nd), 0, 1))
+    return np.ascontiguousarray(w[(slice(None, None, -1),) * (nd - 2)])
+
+
+def import_nnformer3d(state_dict, params, depths=(2, 2, 2, 2)):
+    """Map reference model/dim3/nnformer.py weights onto our NNFormer.
+
+    Validates the shared shifted-window machinery numerically (see
+    tests/test_forward_parity.py).
+    """
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def ln(flax_node, tkey):
+        flax_node["scale"] = sd[f"{tkey}.weight"]
+        flax_node["bias"] = sd[f"{tkey}.bias"]
+
+    def dense(flax_node, tkey, bias=True):
+        flax_node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        if bias:
+            flax_node["bias"] = sd[f"{tkey}.bias"]
+
+    def conv(flax_node, tkey):
+        flax_node["kernel"] = conv_to_flax(sd[f"{tkey}.weight"])
+        flax_node["bias"] = sd[f"{tkey}.bias"]
+
+    def block(flax_blk, tkey, kv=False):
+        ln(flax_blk["LayerNorm_0"], f"{tkey}.norm1")
+        attn = flax_blk["_WindowAttentionNF_0"]
+        dense(attn["Dense_0"], f"{tkey}.attn.kv" if kv else f"{tkey}.attn.qkv")
+        attn["relative_position_bias_table"] = \
+            sd[f"{tkey}.attn.relative_position_bias_table"]
+        dense(attn["Dense_1"], f"{tkey}.attn.proj")
+        ln(flax_blk["LayerNorm_1"], f"{tkey}.norm2")
+        dense(flax_blk["Dense_0"], f"{tkey}.mlp.fc1")
+        dense(flax_blk["Dense_1"], f"{tkey}.mlp.fc2")
+
+    # stem
+    for pi in (0, 1):
+        proj = p[f"_Project_{pi}"]
+        conv(proj["Conv_0"], f"model_down.patch_embed.proj{pi + 1}.conv1")
+        ln(proj["LayerNorm_0"], f"model_down.patch_embed.proj{pi + 1}.norm1")
+        conv(proj["Conv_1"], f"model_down.patch_embed.proj{pi + 1}.conv2")
+        if pi == 0:
+            ln(proj["LayerNorm_1"], f"model_down.patch_embed.proj{pi + 1}.norm2")
+    ln(p["LayerNorm_0"], "model_down.patch_embed.norm")
+
+    # encoder
+    blk_idx = 0
+    for i, depth in enumerate(depths):
+        for b in range(depth):
+            block(p[f"_NFBlock_{blk_idx}"],
+                  f"model_down.layers.{i}.blocks.{b}")
+            blk_idx += 1
+        ln(p[f"LayerNorm_{1 + i}"], f"model_down.norm{i}")
+        if i < len(depths) - 1:
+            pm = p[f"_PatchMergingNF_{i}"]
+            ln(pm["LayerNorm_0"], f"model_down.layers.{i}.downsample.norm")
+            conv(pm["Conv_0"], f"model_down.layers.{i}.downsample.reduction")
+
+    # decoder: our stage j=0 (coarsest) == torch decoder.layers[2], j=1 ==
+    # layers[1], j=2 == layers[0] (reference builds the list reversed)
+    dec_depths = list(depths[::-1][1:])
+    for j in range(len(dec_depths)):
+        tl = f"decoder.layers.{len(dec_depths) - 1 - j}"
+        pe = p[f"_PatchExpandingNF_{j}"]
+        ln(pe["LayerNorm_0"], f"{tl}.Upsample.norm")
+        pe["ConvTranspose_0"]["kernel"] = \
+            convtranspose_to_flax(sd[f"{tl}.Upsample.up.weight"])
+        pe["ConvTranspose_0"]["bias"] = sd[f"{tl}.Upsample.up.bias"]
+        i_layer = len(dec_depths) - 1 - j
+        for b in range(dec_depths[i_layer]):
+            block(p[f"_NFBlock_{blk_idx}"], f"{tl}.blocks.{b}", kv=(b == 0))
+            blk_idx += 1
+
+    # heads: our ConvTranspose_k created coarsest-first == torch final[2-k]
+    n_heads = len(depths) - 1
+    for k in range(n_heads):
+        t = f"final.{n_heads - 1 - k}"
+        p[f"ConvTranspose_{k}"]["kernel"] = \
+            convtranspose_to_flax(sd[f"{t}.up.weight"])
+        p[f"ConvTranspose_{k}"]["bias"] = sd[f"{t}.up.bias"]
+    return p
+
+
 def import_unet(state_dict, params, block: str = "SingleConv",
                 dimension: str = "3d"):
     """Map reference model/dim{2,3}/unet.py weights onto our UNet params.

@@ -66,10 +66,10 @@ def _stub_reference_deps():
                 return x
 
         def to_2tuple(v):
-            return v if isinstance(v, tuple) else (v, v)
+            return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
 
         def to_3tuple(v):
-            return v if isinstance(v, tuple) else (v, v, v)
+            return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
 
         layers.trunc_normal_ = trunc_normal_
         layers.DropPath = DropPath

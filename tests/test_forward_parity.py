@@ -128,6 +128,37 @@ def test_medformer3d_forward_matches_torch_with_same_weights():
         np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
 
 
+def test_nnformer_forward_matches_torch_with_same_weights():
+    """Swin-stack numerical parity: windows, masks, rel-pos bias, kv decoder."""
+    cf.add_reference_to_path()
+    from model.dim3.nnformer import nnFormer as RefNNFormer
+
+    from cbim_tpu.models.nnformer import NNFormer
+    from cbim_tpu.utils.torch_import import import_nnformer3d
+
+    torch.manual_seed(7)
+    ref = RefNNFormer(crop_size=[16, 64, 64], embedding_dim=48,
+                      input_channels=1, num_classes=4,
+                      num_heads=[3, 6, 12, 24], patch_size=[2, 4, 4],
+                      window_size=[4, 4, 8, 4], deep_supervision=True).eval()
+    ours = NNFormer(num_classes=4, crop_size=(16, 64, 64), embedding_dim=48,
+                    num_heads=(3, 6, 12, 24), patch_size=(2, 4, 4),
+                    window_size=(4, 4, 8, 4), deep_supervision=True)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 64, 64, 1)), train=False)
+    params = import_nnformer3d(ref.state_dict(), variables["params"])
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(1, 16, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    outs = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    assert len(ref_outs) == len(outs) == 3
+    for ref_o, o in zip(ref_outs, outs):
+        ref_np = np.transpose(ref_o.numpy(), (0, 2, 3, 4, 1))
+        np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
+
+
 def test_resunet3d_forward_matches_torch_with_same_weights():
     """BasicBlock (ResUNet) transplant via the import utility."""
     cf.add_reference_to_path()
