@@ -123,12 +123,19 @@ def compute_attn_mask(spatial, window, shift) -> np.ndarray | None:
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (swin_unetr.py:384-476)."""
+    """W-MSA with relative position bias (swin_unetr.py:384-476).
+
+    ``table_window``: the NOMINAL window the bias table is sized for.  When
+    the runtime window shrinks to the input extent, the reference keeps the
+    full-size table and slices its index ``[:N, :N]`` (swin_unetr.py:467) —
+    reproduced here so tables/bias values match for weight transplants.
+    """
     num_heads: int
     window: Sequence[int]
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    table_window: Sequence[int] | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,11 +143,12 @@ class WindowAttention(nn.Module):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
-        table_size = int(np.prod([2 * w - 1 for w in self.window]))
+        tw = tuple(self.table_window or self.window)
+        table_size = int(np.prod([2 * w - 1 for w in tw]))
         bias_table = self.param("relative_position_bias_table",
                                 nn.initializers.truncated_normal(0.02),
                                 (table_size, h))
-        rel_idx = relative_position_index(self.window)[:n, :n].reshape(-1)
+        rel_idx = relative_position_index(tw)[:n, :n].reshape(-1)
 
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias,
                        kernel_init=torch_conv_init, dtype=self.dtype)(x)
@@ -201,6 +209,7 @@ class SwinBlock(nn.Module):
         wins = window_partition(h, window)
         wins = WindowAttention(self.num_heads, window, self.qkv_bias,
                                self.attn_drop, self.drop,
+                               table_window=tuple(self.window_size),
                                dtype=self.dtype)(wins, mask, train)
         h = window_reverse(wins, window, padded)
         if any(s > 0 for s in shift):

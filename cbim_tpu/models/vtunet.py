@@ -62,6 +62,7 @@ class WindowAttentionVT(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    table_window: Sequence[int] | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -70,11 +71,12 @@ class WindowAttentionVT(nn.Module):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
-        table_size = int(np.prod([2 * w - 1 for w in self.window]))
+        tw = tuple(self.table_window or self.window)
+        table_size = int(np.prod([2 * w - 1 for w in tw]))
         table = self.param("relative_position_bias_table",
                            nn.initializers.truncated_normal(0.02),
                            (table_size, h))
-        idx = relative_position_index(self.window)[:n, :n].reshape(-1)
+        idx = relative_position_index(tw)[:n, :n].reshape(-1)
         bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)[None]
 
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias,
@@ -156,6 +158,7 @@ class SwinBlockVT(nn.Module):
         wins = window_partition(h, window)
         out_w, x2_w, v, k, q = WindowAttentionVT(
             self.num_heads, window, self.qkv_bias, self.attn_drop, self.drop,
+            table_window=tuple(self.window_size),
             dtype=self.dtype)(wins, mask, prev_v, prev_k, prev_q, is_decoder,
                               train)
 
@@ -285,6 +288,10 @@ class VTUNet(nn.Module):
             v1, k1, q1, v2, k2, q2 = caches[nl - 1 - inx]
             dps = dpr[sum(self.depths[:stage]):sum(self.depths[:stage + 1])]
             for b in range(self.depths[stage]):
+                # every decoder block cross-attends: even blocks against the
+                # encoder's even-block (unshifted) k/v cache, odd blocks
+                # against the odd-block (shifted) cache
+                # (vtunet_utils.py:1193-1197, both branches pass True)
                 pv, pk, pq = (v1, k1, q1) if b % 2 == 0 else (v2, k2, q2)
                 h, _, _, _ = SwinBlockVT(
                     self.num_heads[stage], self.window_size,

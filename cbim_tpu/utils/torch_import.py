@@ -284,6 +284,75 @@ def import_nnformer3d(state_dict, params, depths=(2, 2, 2, 2)):
     return p
 
 
+def import_vtunet(state_dict, params, depths=(2, 2, 2, 1)):
+    """Map reference model/dim3/vtunet.py weights onto our VTUNet."""
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+    pre = "swin_unet"
+
+    def ln(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    def dense(node, tkey, bias=True):
+        node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        if bias:
+            node["bias"] = sd[f"{tkey}.bias"]
+
+    def block(blk, tkey):
+        ln(blk["norm1"], f"{tkey}.norm1")
+        attn = blk["WindowAttentionVT_0"]
+        dense(attn["Dense_0"], f"{tkey}.attn.qkv")
+        attn["relative_position_bias_table"] = \
+            sd[f"{tkey}.attn.relative_position_bias_table"]
+        dense(attn["Dense_1"], f"{tkey}.attn.proj")
+        ln(blk["norm2"], f"{tkey}.norm2")
+        dense(blk["mlp_fc1"], f"{tkey}.mlp.fc1")
+        dense(blk["mlp_fc2"], f"{tkey}.mlp.fc2")
+
+    p["Conv_0"]["kernel"] = conv_to_flax(sd[f"{pre}.patch_embed.proj.weight"])
+    p["Conv_0"]["bias"] = sd[f"{pre}.patch_embed.proj.bias"]
+    ln(p["LayerNorm_0"], f"{pre}.patch_embed.norm")
+
+    bi = 0
+    for i, depth in enumerate(depths):
+        for b in range(depth):
+            block(p[f"SwinBlockVT_{bi}"], f"{pre}.layers.{i}.blocks.{b}")
+            bi += 1
+        if i < len(depths) - 1:
+            pm = p[f"PatchMergingHW_{i}"]
+            ln(pm["LayerNorm_0"], f"{pre}.layers.{i}.downsample.norm")
+            dense(pm["Dense_0"], f"{pre}.layers.{i}.downsample.reduction",
+                  bias=False)
+    ln(p["LayerNorm_1"], f"{pre}.norm")
+
+    # decoder: layers_up.0 is the bottleneck PatchExpand; stages 1..3 carry
+    # blocks + concat_back_dim + (for 1,2) a trailing upsample
+    pe = p["PatchExpandHW_0"]
+    dense(pe["Dense_0"], f"{pre}.layers_up.0.expand", bias=False)
+    ln(pe["LayerNorm_0"], f"{pre}.layers_up.0.norm")
+    for inx in range(1, len(depths)):
+        dense(p[f"Dense_{inx - 1}"], f"{pre}.concat_back_dim.{inx}",
+              bias=False)
+        stage = len(depths) - 1 - inx
+        for b in range(depths[stage]):
+            block(p[f"SwinBlockVT_{bi}"], f"{pre}.layers_up.{inx}.blocks.{b}")
+            bi += 1
+        if inx < len(depths) - 1:
+            pe = p[f"PatchExpandHW_{inx}"]
+            dense(pe["Dense_0"], f"{pre}.layers_up.{inx}.upsample.expand",
+                  bias=False)
+            ln(pe["LayerNorm_0"], f"{pre}.layers_up.{inx}.upsample.norm")
+
+    ln(p["LayerNorm_2"], f"{pre}.norm_up")
+    fp = p["FinalPatchExpand_0"]
+    dense(fp["Dense_0"], f"{pre}.up.expand", bias=False)
+    ln(fp["LayerNorm_0"], f"{pre}.up.norm")
+    p["Conv_1"]["kernel"] = conv_to_flax(sd[f"{pre}.output.weight"])
+    return p
+
+
 def import_unet(state_dict, params, block: str = "SingleConv",
                 dimension: str = "3d"):
     """Map reference model/dim{2,3}/unet.py weights onto our UNet params.

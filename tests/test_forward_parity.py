@@ -159,6 +159,39 @@ def test_nnformer_forward_matches_torch_with_same_weights():
         np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
 
 
+def test_vtunet_forward_matches_torch_with_same_weights():
+    """Cross-attentive Swin decoder parity (cached k/v, PE fusion, expands)."""
+    cf.add_reference_to_path()
+    from model.dim3.vtunet import VTUNet as RefVT
+
+    from cbim_tpu.models.vtunet import VTUNet
+    from cbim_tpu.utils.torch_import import import_vtunet
+
+    class Cfg:
+        training_size = [16, 128, 128]
+        patch_size = [1, 4, 4]
+        in_chan = 1
+
+    torch.manual_seed(9)
+    ref = RefVT(Cfg(), num_classes=4, embed_dim=48, win_size=7).eval()
+    ours = VTUNet(num_classes=4, patch_size=(1, 4, 4), embed_dim=48,
+                  num_heads=(3, 6, 12, 24), window_size=(7, 7, 7))
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 128, 128, 1)), train=False)
+    from test_models import n_params, torch_n_params
+    assert n_params(variables["params"]) == torch_n_params(ref)
+
+    params = import_vtunet(ref.state_dict(), variables["params"])
+    rng = np.random.RandomState(10)
+    x = rng.randn(1, 16, 128, 128, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    ref_np = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                train=False))
+    np.testing.assert_allclose(out, ref_np, rtol=5e-3, atol=2e-3)
+
+
 def test_resunet3d_forward_matches_torch_with_same_weights():
     """BasicBlock (ResUNet) transplant via the import utility."""
     cf.add_reference_to_path()
