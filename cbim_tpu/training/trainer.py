@@ -72,6 +72,18 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
     if cfg.resume and cfg.load:
         state, start_epoch = load_checkpoint(cfg.load, state)
         logging.info("Resumed from %s at epoch %d", cfg.load, start_epoch)
+    elif cfg.pretrain and cfg.get("init_model"):
+        # initialize from a PyTorch-reference checkpoint (.pth) via the
+        # numerically-verified transplant (utils/torch_import.py)
+        from ..utils.torch_import import import_for_model, load_torch_state_dict
+        sd = load_torch_state_dict(cfg.init_model)
+        params = import_for_model(cfg, sd, state.params)
+        import jax.numpy as _jnp
+        state = state.replace(params=jax.tree.map(_jnp.asarray, params))
+        if cfg.ema and state.ema_params is not None:
+            state = state.replace(
+                ema_params=jax.tree.map(_jnp.asarray, params))
+        logging.info("Initialized from torch checkpoint %s", cfg.init_model)
 
     if cfg.dimension == "2d":
         iters = max(1, len(trainset.images) // cfg.batch_size)

@@ -35,6 +35,49 @@ def _to_np(state_dict):
     return out
 
 
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch checkpoint file (reference .pth format) as numpy arrays.
+
+    Accepts either a bare state_dict or the reference trainer's
+    {model_state_dict, ema_model_state_dict, ...} wrapper (train.py:104-109);
+    the EMA weights are preferred when present (matching the reference's
+    eval convention).
+    """
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        sd = ckpt.get("ema_model_state_dict") or ckpt["model_state_dict"]
+    else:
+        sd = ckpt
+    return _to_np(sd)
+
+
+def import_for_model(cfg, state_dict, params):
+    """Dispatch the right transplant for (cfg.model, cfg.dimension).
+
+    This powers ``--pretrain`` + ``init_model: <path to reference .pth>``:
+    initialize training (or prediction) from a checkpoint trained with the
+    PyTorch reference.
+    """
+    name, dim = cfg.model, cfg.dimension
+    if name in ("unet", "resunet"):
+        block = cfg.block if name == "unet" else "BasicBlock"
+        return import_unet(state_dict, params, block=cfg.block, dimension=dim)
+    if name == "medformer" and dim == "3d":
+        chan_num = list(getattr(cfg, "chan_num",
+                                [64, 128, 256, 320, 256, 128, 64, 32]))
+        return import_medformer3d(state_dict, params, cfg.conv_num,
+                                  cfg.trans_num, cfg.num_heads, chan_num,
+                                  cfg.fusion_depth)
+    if name == "nnformer":
+        return import_nnformer3d(state_dict, params)
+    if name == "vtunet":
+        return import_vtunet(state_dict, params)
+    raise NotImplementedError(
+        f"torch-checkpoint import not implemented for {name} ({dim}); "
+        f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, vtunet")
+
+
 def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
     """B-MHA channel permutation: the reference's rearrange1 splits the inner
     channels dim-head-major (medformer_utils.py:43-51, view(b, dim_head,

@@ -138,8 +138,15 @@ def main():
 
     engines = []
     for ckpt in (args.load or []):
-        params = load_params_for_eval(ckpt, init_vars["params"],
-                                      prefer_ema=cfg.ema)
+        if ckpt.endswith(".pth"):
+            # a PyTorch-reference checkpoint: transplant it
+            from cbim_tpu.utils.torch_import import (import_for_model,
+                                                     load_torch_state_dict)
+            params = import_for_model(cfg, load_torch_state_dict(ckpt),
+                                      init_vars["params"])
+        else:
+            params = load_params_for_eval(ckpt, init_vars["params"],
+                                          prefer_ema=cfg.ema)
         variables = {"params": params}
 
         def apply_fn(x, variables=variables):
