@@ -100,12 +100,17 @@ class SwinUnet2D(nn.Module):
                 continue
             stage = nl - 1 - inx
             h = jnp.concatenate([h, skips[nl - 1 - inx]], axis=-1)
-            h = nn.Dense(self.embed_dim * 2 ** stage, use_bias=False,
+            # the vendored concat_back_dim Linear has a bias (swin_unet.py:1320)
+            h = nn.Dense(self.embed_dim * 2 ** stage, use_bias=True,
                          kernel_init=torch_conv_init, dtype=self.dtype)(h)
-            for b in range(self.depths_decoder[inx]):
+            # the reference decoder reuses the ENCODER depths reversed
+            # (swin_unet.py:1338: depth = depths[num_layers-1-i_layer]);
+            # depths_decoder is printed but not used for construction
+            dps = dpr[sum(self.depths[:stage]):sum(self.depths[:stage + 1])]
+            for b in range(self.depths[stage]):
                 h = SwinBlock(self.num_heads[stage], win,
                               (0, 0) if b % 2 == 0 else shift, self.mlp_ratio,
-                              True, dtype=self.dtype)(h, train)
+                              True, 0.0, 0.0, dps[b], dtype=self.dtype)(h, train)
             if inx < nl - 1:
                 h = PatchExpand2D(dtype=self.dtype)(h)
 

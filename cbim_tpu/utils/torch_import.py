@@ -73,9 +73,14 @@ def import_for_model(cfg, state_dict, params):
         return import_nnformer3d(state_dict, params)
     if name == "vtunet":
         return import_vtunet(state_dict, params)
+    if name == "swinunet":
+        return import_swinunet(state_dict, params,
+                               depths=tuple(getattr(cfg, "depths",
+                                                    (2, 2, 6, 2))))
     raise NotImplementedError(
         f"torch-checkpoint import not implemented for {name} ({dim}); "
-        f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, vtunet")
+        f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, "
+        f"vtunet, swinunet")
 
 
 def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
@@ -390,6 +395,72 @@ def import_vtunet(state_dict, params, depths=(2, 2, 2, 1)):
 
     ln(p["LayerNorm_2"], f"{pre}.norm_up")
     fp = p["FinalPatchExpand_0"]
+    dense(fp["Dense_0"], f"{pre}.up.expand", bias=False)
+    ln(fp["LayerNorm_0"], f"{pre}.up.norm")
+    p["Conv_1"]["kernel"] = conv_to_flax(sd[f"{pre}.output.weight"])
+    return p
+
+
+def import_swinunet(state_dict, params, depths=(2, 2, 6, 2)):
+    """Map reference model/dim2/swin_unet.py weights onto our SwinUnet2D."""
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+    pre = "swin_unet"
+
+    def ln(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    def dense(node, tkey, bias=True):
+        node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        if bias:
+            node["bias"] = sd[f"{tkey}.bias"]
+
+    def block(blk, tkey):
+        ln(blk["LayerNorm_0"], f"{tkey}.norm1")
+        attn = blk["WindowAttention_0"]
+        dense(attn["Dense_0"], f"{tkey}.attn.qkv")
+        attn["relative_position_bias_table"] = \
+            sd[f"{tkey}.attn.relative_position_bias_table"]
+        dense(attn["Dense_1"], f"{tkey}.attn.proj")
+        ln(blk["LayerNorm_1"], f"{tkey}.norm2")
+        dense(blk["Dense_0"], f"{tkey}.mlp.fc1")
+        dense(blk["Dense_1"], f"{tkey}.mlp.fc2")
+
+    p["Conv_0"]["kernel"] = conv_to_flax(sd[f"{pre}.patch_embed.proj.weight"])
+    p["Conv_0"]["bias"] = sd[f"{pre}.patch_embed.proj.bias"]
+    ln(p["LayerNorm_0"], f"{pre}.patch_embed.norm")
+
+    bi = 0
+    for i, depth in enumerate(depths):
+        for b in range(depth):
+            block(p[f"SwinBlock_{bi}"], f"{pre}.layers.{i}.blocks.{b}")
+            bi += 1
+        if i < len(depths) - 1:
+            pm = p[f"PatchMergingLegacy_{i}"]
+            ln(pm["LayerNorm_0"], f"{pre}.layers.{i}.downsample.norm")
+            dense(pm["Dense_0"], f"{pre}.layers.{i}.downsample.reduction",
+                  bias=False)
+    ln(p["LayerNorm_1"], f"{pre}.norm")
+
+    pe = p["PatchExpand2D_0"]
+    dense(pe["Dense_0"], f"{pre}.layers_up.0.expand", bias=False)
+    ln(pe["LayerNorm_0"], f"{pre}.layers_up.0.norm")
+    for inx in range(1, len(depths)):
+        dense(p[f"Dense_{inx - 1}"], f"{pre}.concat_back_dim.{inx}")
+        stage = len(depths) - 1 - inx
+        for b in range(depths[stage]):
+            block(p[f"SwinBlock_{bi}"], f"{pre}.layers_up.{inx}.blocks.{b}")
+            bi += 1
+        if inx < len(depths) - 1:
+            pe = p[f"PatchExpand2D_{inx}"]
+            dense(pe["Dense_0"], f"{pre}.layers_up.{inx}.upsample.expand",
+                  bias=False)
+            ln(pe["LayerNorm_0"], f"{pre}.layers_up.{inx}.upsample.norm")
+
+    ln(p["LayerNorm_2"], f"{pre}.norm_up")
+    fp = p["FinalPatchExpandX4_0"]
     dense(fp["Dense_0"], f"{pre}.up.expand", bias=False)
     ln(fp["LayerNorm_0"], f"{pre}.up.norm")
     p["Conv_1"]["kernel"] = conv_to_flax(sd[f"{pre}.output.weight"])

@@ -221,3 +221,38 @@ def test_resunet3d_forward_matches_torch_with_same_weights():
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
                                 train=False))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_swinunet_forward_matches_torch_with_same_weights():
+    """SwinUnet2D transplant parity (model/dim2/swin_unet.py vendored
+    SwinTransformerSys).  Covers the encoder-depths-reversed decoder, the
+    biased concat_back_dim Linears, and PatchMergingLegacy."""
+    cf.add_reference_to_path()
+    from model.dim2.swin_unet import SwinUnet as RefSwinUnet
+    from model.dim2.swin_unet import SwinUnet_config
+
+    from cbim_tpu.models.swin_unet import SwinUnet2D
+    from cbim_tpu.utils.torch_import import import_swinunet
+
+    torch.manual_seed(13)
+    ref = RefSwinUnet(SwinUnet_config(), img_size=224, num_classes=4).eval()
+    ours = SwinUnet2D(num_classes=4, img_size=224, embed_dim=96,
+                      depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24))
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 224, 224, 1)), train=False)
+
+    n_ours = sum(int(np.prod(p.shape))
+                 for p in jax.tree.leaves(variables["params"]))
+    n_ref = sum(p.numel() for p in ref.parameters())
+    assert n_ours == n_ref
+
+    params = import_swinunet(ref.state_dict(), variables["params"])
+
+    rng = np.random.RandomState(14)
+    x = rng.randn(1, 224, 224, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
