@@ -43,14 +43,15 @@ class Attention(nn.Module):
     dim_head: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    qkv_bias: bool = False      # trans_layers.py uses bias=False; ViT True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dim = x.shape[-1]
         inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=torch_conv_init,
-                       dtype=self.dtype)(x)
+        qkv = nn.Dense(inner * 3, use_bias=self.qkv_bias,
+                       kernel_init=torch_conv_init, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):  # B, L, (h d) -> B, h, L, d
@@ -62,6 +63,7 @@ class Attention(nn.Module):
         attn = jnp.einsum("bhid,bhjd->bhij", q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                          preferred_element_type=jnp.float32).astype(q.dtype)
         b, h, l, d = out.shape

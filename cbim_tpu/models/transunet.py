@@ -88,7 +88,9 @@ class PreActBottleneck(nn.Module):
         residual = x
         if self.stride != 1 or cin != self.cout:
             residual = StdConv(self.cout, 1, self.stride, dtype=self.dtype)(x)
-            residual = GN(groups=self.cout)(residual)
+            # gn_proj is constructed WITHOUT eps=1e-6 (transunet.py:1270),
+            # so it gets the torch GroupNorm default 1e-5
+            residual = GN(groups=self.cout, eps=1e-5)(residual)
         y = jax.nn.relu(GN()(StdConv(self.cmid, 1, dtype=self.dtype)(x)))
         y = jax.nn.relu(GN()(StdConv(self.cmid, 3, self.stride,
                                      dtype=self.dtype)(y)))
@@ -105,19 +107,26 @@ class ResNetV2(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.width
+        in_size = x.shape[1]
         x = StdConv(w, 7, 2, dtype=self.dtype)(x)
         x = jax.nn.relu(GN()(x))
         features = [x]                                     # /2, width
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
-                    constant_values=-jnp.inf)              # maxpool k3 s2 p0
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        # the vendored forward maxpools with padding=0 (transunet.py:1448),
+        # so a 112 map becomes 55 and the BODY runs on the 55 grid; only the
+        # SKIP features are zero-padded bottom/right to in_size/4/(i+1)
+        # (transunet.py:1439-1449)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         chans = [(w * 4, w, 1), (w * 8, w * 2, 2), (w * 16, w * 4, 2)]
         for bi, (cout, cmid, stride) in enumerate(chans):
             for u in range(self.block_units[bi]):
                 x = PreActBottleneck(cout, cmid, stride if u == 0 else 1,
                                      dtype=self.dtype)(x)
             if bi < 2:
-                features.append(x)                         # /4, /8
+                right = in_size // 4 // (bi + 1)
+                ph, pw = right - x.shape[1], right - x.shape[2]
+                feat = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0))) \
+                    if (ph or pw) else x
+                features.append(feat)                      # /4, /8
         return x, features[::-1]                           # /16 + [512@/8, 256@/4, 64@/2]
 
 
@@ -155,8 +164,10 @@ class TransUNet(nn.Module):
         hd = self.hidden_size // self.num_heads
         for _ in range(self.num_layers):
             t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(tokens)
-            tokens = tokens + Attention(self.num_heads, hd, self.dropout,
-                                        self.dropout, dtype=self.dtype)(t, train)
+            # attention_dropout_rate is 0.0 in R50-ViT-B_16 (transunet.py
+            # CONFIGS); only mlp/embedding dropout uses dropout_rate=0.1
+            tokens = tokens + Attention(self.num_heads, hd, 0.0, 0.0,
+                                        qkv_bias=True, dtype=self.dtype)(t, train)
             t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(tokens)
             tokens = tokens + Mlp(self.mlp_dim, self.hidden_size, act="gelu",
                                   drop=self.dropout, dtype=self.dtype)(t, train)

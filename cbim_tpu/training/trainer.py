@@ -77,12 +77,18 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         # numerically-verified transplant (utils/torch_import.py)
         from ..utils.torch_import import import_for_model, load_torch_state_dict
         sd = load_torch_state_dict(cfg.init_model)
-        params = import_for_model(cfg, sd, state.params)
+        new_vars = import_for_model(cfg, sd, {"params": state.params,
+                                              "batch_stats": state.batch_stats})
         import jax.numpy as _jnp
-        state = state.replace(params=jax.tree.map(_jnp.asarray, params))
+        params = new_vars["params"]
+        stats = new_vars.get("batch_stats", state.batch_stats)
+        state = state.replace(params=jax.tree.map(_jnp.asarray, params),
+                              batch_stats=jax.tree.map(_jnp.asarray, stats))
         if cfg.ema and state.ema_params is not None:
             state = state.replace(
-                ema_params=jax.tree.map(_jnp.asarray, params))
+                ema_params=jax.tree.map(_jnp.asarray, params),
+                ema_batch_stats=(jax.tree.map(_jnp.asarray, stats)
+                                 if state.ema_batch_stats is not None else None))
         logging.info("Initialized from torch checkpoint %s", cfg.init_model)
 
     if cfg.dimension == "2d":

@@ -52,35 +52,59 @@ def load_torch_state_dict(path: str) -> dict:
     return _to_np(sd)
 
 
-def import_for_model(cfg, state_dict, params):
+def import_for_model(cfg, state_dict, variables):
     """Dispatch the right transplant for (cfg.model, cfg.dimension).
 
     This powers ``--pretrain`` + ``init_model: <path to reference .pth>``:
     initialize training (or prediction) from a checkpoint trained with the
     PyTorch reference.
+
+    ``variables`` may be a bare params tree or a full flax variables dict
+    ({"params": ..., "batch_stats": ...}); the return mirrors the input
+    structure.  Models with BatchNorm running statistics (transunet) require
+    the full dict so the stats can be transplanted too.
     """
+    is_vars = isinstance(variables, dict) and "params" in variables
+    params = variables["params"] if is_vars else variables
+
+    def out(p, extra=None):
+        if not is_vars:
+            return p
+        res = dict(variables)
+        res["params"] = p
+        if extra:
+            res.update(extra)
+        return res
+
     name, dim = cfg.model, cfg.dimension
     if name in ("unet", "resunet"):
         block = cfg.block if name == "unet" else "BasicBlock"
-        return import_unet(state_dict, params, block=cfg.block, dimension=dim)
+        return out(import_unet(state_dict, params, block=cfg.block,
+                               dimension=dim))
     if name == "medformer" and dim == "3d":
         chan_num = list(getattr(cfg, "chan_num",
                                 [64, 128, 256, 320, 256, 128, 64, 32]))
-        return import_medformer3d(state_dict, params, cfg.conv_num,
-                                  cfg.trans_num, cfg.num_heads, chan_num,
-                                  cfg.fusion_depth)
+        return out(import_medformer3d(state_dict, params, cfg.conv_num,
+                                      cfg.trans_num, cfg.num_heads, chan_num,
+                                      cfg.fusion_depth))
     if name == "nnformer":
-        return import_nnformer3d(state_dict, params)
+        return out(import_nnformer3d(state_dict, params))
     if name == "vtunet":
-        return import_vtunet(state_dict, params)
+        return out(import_vtunet(state_dict, params))
     if name == "swinunet":
-        return import_swinunet(state_dict, params,
-                               depths=tuple(getattr(cfg, "depths",
-                                                    (2, 2, 6, 2))))
+        return out(import_swinunet(state_dict, params,
+                                   depths=tuple(getattr(cfg, "depths",
+                                                        (2, 2, 6, 2)))))
+    if name == "transunet":
+        if not is_vars:
+            raise ValueError("transunet transplant needs the full variables "
+                             "dict (params + batch_stats)")
+        res = import_transunet(state_dict, variables)
+        return out(res["params"], {"batch_stats": res["batch_stats"]})
     raise NotImplementedError(
         f"torch-checkpoint import not implemented for {name} ({dim}); "
         f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, "
-        f"vtunet, swinunet")
+        f"vtunet, swinunet, transunet")
 
 
 def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
@@ -521,3 +545,94 @@ def import_unet(state_dict, params, block: str = "SingleConv",
     put(("Conv_0", "kernel"), "outc.weight")
     p["Conv_0"]["bias"] = sd["outc.bias"]
     return p
+
+
+def import_transunet(state_dict, variables):
+    """Map reference model/dim2/transunet.py (vendored R50-ViT-B_16) weights
+    onto our TransUNet {params, batch_stats}.
+
+    Covers the ResNetV2 hybrid stem (weight-standardized convs + GroupNorm),
+    the ViT-B/16 encoder (q/k/v/out Linears fused into our qkv Dense), and
+    the DecoderCup conv+BN blocks including running statistics.
+    Verified numerically in tests/test_forward_parity.py.
+    """
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    bs = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def gn(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    def stdconv(node, tkey):
+        node["kernel"] = conv_to_flax(sd[f"{tkey}.weight"])
+
+    # --- ResNetV2 hybrid stem -----------------------------------------------
+    rn = p["ResNetV2_0"]
+    hm = "transformer.embeddings.hybrid_model"
+    stdconv(rn["StdConv_0"], f"{hm}.root.conv")
+    gn(rn["GN_0"], f"{hm}.root.gn")
+    block_units = (3, 4, 9)
+    k = 0
+    for bi, units in enumerate(block_units):
+        for u in range(1, units + 1):
+            t = f"{hm}.body.block{bi + 1}.unit{u}"
+            unit = rn[f"PreActBottleneck_{k}"]
+            off = 0
+            if u == 1:   # first unit projects the residual
+                stdconv(unit["StdConv_0"], f"{t}.downsample")
+                gn(unit["GN_0"], f"{t}.gn_proj")
+                off = 1
+            for ci in (1, 2, 3):
+                stdconv(unit[f"StdConv_{off + ci - 1}"], f"{t}.conv{ci}")
+                gn(unit[f"GN_{off + ci - 1}"], f"{t}.gn{ci}")
+            k += 1
+
+    # --- ViT embeddings + encoder -------------------------------------------
+    p["Conv_0"]["kernel"] = conv_to_flax(
+        sd["transformer.embeddings.patch_embeddings.weight"])
+    p["Conv_0"]["bias"] = sd["transformer.embeddings.patch_embeddings.bias"]
+    p["position_embeddings"] = sd["transformer.embeddings.position_embeddings"]
+
+    def ln(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    n_layers = 12
+    for i in range(n_layers):
+        t = f"transformer.encoder.layer.{i}"
+        ln(p[f"LayerNorm_{2 * i}"], f"{t}.attention_norm")
+        attn = p[f"Attention_{i}"]
+        attn["Dense_0"]["kernel"] = np.concatenate(
+            [linear_to_flax(sd[f"{t}.attn.{n}.weight"])
+             for n in ("query", "key", "value")], axis=1)
+        attn["Dense_0"]["bias"] = np.concatenate(
+            [sd[f"{t}.attn.{n}.bias"] for n in ("query", "key", "value")])
+        attn["Dense_1"]["kernel"] = linear_to_flax(sd[f"{t}.attn.out.weight"])
+        attn["Dense_1"]["bias"] = sd[f"{t}.attn.out.bias"]
+        ln(p[f"LayerNorm_{2 * i + 1}"], f"{t}.ffn_norm")
+        mlp = p[f"Mlp_{i}"]
+        mlp["Dense_0"]["kernel"] = linear_to_flax(sd[f"{t}.ffn.fc1.weight"])
+        mlp["Dense_0"]["bias"] = sd[f"{t}.ffn.fc1.bias"]
+        mlp["Dense_1"]["kernel"] = linear_to_flax(sd[f"{t}.ffn.fc2.weight"])
+        mlp["Dense_1"]["bias"] = sd[f"{t}.ffn.fc2.bias"]
+    ln(p[f"LayerNorm_{2 * n_layers}"], "transformer.encoder.encoder_norm")
+
+    # --- DecoderCup + head ---------------------------------------------------
+    def conv_bn(ci, bni, tconv, tbn):
+        p[f"Conv_{ci}"]["kernel"] = conv_to_flax(sd[f"{tconv}.weight"])
+        p[f"BatchNorm_{bni}"]["scale"] = sd[f"{tbn}.weight"]
+        p[f"BatchNorm_{bni}"]["bias"] = sd[f"{tbn}.bias"]
+        bs[f"BatchNorm_{bni}"]["mean"] = sd[f"{tbn}.running_mean"]
+        bs[f"BatchNorm_{bni}"]["var"] = sd[f"{tbn}.running_var"]
+
+    conv_bn(1, 0, "decoder.conv_more.0", "decoder.conv_more.1")
+    for i in range(4):
+        conv_bn(2 + 2 * i, 1 + 2 * i,
+                f"decoder.blocks.{i}.conv1.0", f"decoder.blocks.{i}.conv1.1")
+        conv_bn(3 + 2 * i, 2 + 2 * i,
+                f"decoder.blocks.{i}.conv2.0", f"decoder.blocks.{i}.conv2.1")
+    p["Conv_10"]["kernel"] = conv_to_flax(sd["segmentation_head.0.weight"])
+    p["Conv_10"]["bias"] = sd["segmentation_head.0.bias"]
+    return {"params": p, "batch_stats": bs}

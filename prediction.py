@@ -142,12 +142,14 @@ def main():
             # a PyTorch-reference checkpoint: transplant it
             from cbim_tpu.utils.torch_import import (import_for_model,
                                                      load_torch_state_dict)
-            params = import_for_model(cfg, load_torch_state_dict(ckpt),
-                                      init_vars["params"])
+            variables = import_for_model(cfg, load_torch_state_dict(ckpt),
+                                         dict(init_vars))
         else:
             params = load_params_for_eval(ckpt, init_vars["params"],
                                           prefer_ema=cfg.ema)
-        variables = {"params": params}
+            variables = {"params": params}
+            if "batch_stats" in init_vars:
+                variables["batch_stats"] = init_vars["batch_stats"]
 
         def apply_fn(x, variables=variables):
             out = model.apply(variables, x, train=False)

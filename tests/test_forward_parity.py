@@ -256,3 +256,42 @@ def test_swinunet_forward_matches_torch_with_same_weights():
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
                                 train=False))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_transunet_forward_matches_torch_with_same_weights():
+    """TransUNet transplant parity (model/dim2/transunet.py vendored
+    R50-ViT-B_16).  Covers the ResNetV2 55-grid body + zero-padded skips,
+    gn_proj's torch-default eps, biased qkv, and BatchNorm running stats."""
+    cf.add_reference_to_path()
+    from model.dim2 import VisionTransformer as RefViT
+    from model.dim2.transunet import CONFIGS
+
+    from cbim_tpu.models.transunet import TransUNet
+    from cbim_tpu.utils.torch_import import import_transunet
+
+    rcfg = CONFIGS["R50-ViT-B_16"]
+    rcfg.n_classes = 4
+    rcfg.n_skip = 3
+    rcfg.patches.grid = (14, 14)
+    torch.manual_seed(3)
+    ref = RefViT(rcfg, img_size=224, num_classes=4).eval()
+
+    ours = TransUNet(num_classes=4, img_size=224)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 224, 224, 1)), train=False)
+    n_ours = sum(int(np.prod(p.shape))
+                 for p in jax.tree.leaves(variables["params"]))
+    n_ref = sum(p.numel() for p in ref.parameters())
+    assert n_ours == n_ref
+
+    newv = import_transunet(ref.state_dict(), variables)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 224, 224, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    out = np.asarray(ours.apply({"params": newv["params"],
+                                 "batch_stats": newv["batch_stats"]},
+                                jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
