@@ -47,14 +47,14 @@ def test_surface_distance_simple_cubes():
     a[5:10, 5:15, 5:15] = True
     b[7:12, 5:15, 5:15] = True
 
-    d_ab, d_ba = surface_distances(a, b, (1.0, 1.0, 1.0))
-    asd = np.mean(average_surface_distance(d_ab, d_ba))
-    hd = robust_hausdorff(d_ab, d_ba, 95)
+    d_ab, d_ba, a_ab, a_ba = surface_distances(a, b, (1.0, 1.0, 1.0))
+    asd = np.mean(average_surface_distance(d_ab, d_ba, a_ab, a_ba))
+    hd = robust_hausdorff(d_ab, d_ba, 95, a_ab, a_ba)
     assert 0.5 < asd < 2.0
     assert 1.0 <= hd <= 2.0 + 1e-6
 
     # identical masks -> zero distances
-    d_aa, d_aa2 = surface_distances(a, a, (1.0, 1.0, 1.0))
+    d_aa, d_aa2, _, _ = surface_distances(a, a, (1.0, 1.0, 1.0))
     assert np.max(d_aa) == 0.0 and np.max(d_aa2) == 0.0
 
 
@@ -79,3 +79,57 @@ def test_calculate_distance_spacing():
     b[4:8, 4:8, 4:8] = 1
     asd, hd = calculate_distance(a, b, (2.0, 1.0, 1.0), num_classes=2)
     assert asd[0] == 0.0 and hd[0] == 0.0
+
+
+def test_surfel_area_table_matches_reference_exactly():
+    """Our first-principles marching-cubes table == the vendored DeepMind
+    table (metric/lookup_tables.py), all 256 codes, isotropic + anisotropic."""
+    import conftest as cf
+    cf.add_reference_to_path()
+    from metric.lookup_tables import (
+        ENCODE_NEIGHBOURHOOD_3D_KERNEL,
+        create_table_neighbour_code_to_surface_area as ref_table)
+
+    from cbim_tpu.ops._surfel_tables import (
+        create_table_neighbour_code_to_surface_area, encode_kernel_3d)
+
+    assert np.array_equal(encode_kernel_3d(), ENCODE_NEIGHBOURHOOD_3D_KERNEL)
+    for sp in [(1.0, 1.0, 1.0), (1.5, 0.7, 2.0), (5.0, 1.5625, 1.5625)]:
+        np.testing.assert_allclose(
+            create_table_neighbour_code_to_surface_area(sp), ref_table(sp),
+            rtol=0, atol=1e-12)
+
+
+def test_calculate_distance_matches_reference_exactly():
+    """End-to-end ASD/HD95 == reference metric/utils.py calculate_distance
+    on random blobs with anisotropic spacing."""
+    torch = pytest.importorskip("torch")
+    import conftest as cf
+    cf.add_reference_to_path()
+    from metric.utils import calculate_distance as ref_distance
+
+    from cbim_tpu.ops.metrics import calculate_distance
+
+    rng = np.random.RandomState(7)
+    from scipy import ndimage as ndi
+    shape = (24, 32, 32)
+    vol_t = np.zeros(shape, np.int64)
+    vol_p = np.zeros(shape, np.int64)
+    for c in (1, 2):
+        # threshold at a high percentile so every class is non-empty in both
+        # volumes (the reference errors on missing classes under numpy 2)
+        f_t = ndi.gaussian_filter(rng.rand(*shape), 3)
+        f_p = ndi.gaussian_filter(rng.rand(*shape), 3)
+        blob_t = f_t > np.percentile(f_t, 85)
+        blob_p = f_p > np.percentile(f_p, 85)
+        vol_t[blob_t & (vol_t == 0)] = c
+        vol_p[blob_p & (vol_p == 0)] = c
+    assert all((vol_t == c).any() and (vol_p == c).any() for c in (1, 2))
+    spacing = np.array([2.0, 0.75, 0.75])
+
+    asd, hd = calculate_distance(vol_p, vol_t, spacing, num_classes=3)
+    ref_asd, ref_hd = ref_distance(torch.from_numpy(vol_p),
+                                   torch.from_numpy(vol_t),
+                                   torch.from_numpy(spacing), 3)
+    np.testing.assert_allclose(asd, ref_asd, rtol=1e-12)
+    np.testing.assert_allclose(hd, ref_hd, rtol=1e-12)
