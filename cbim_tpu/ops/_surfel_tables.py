@@ -228,3 +228,59 @@ def encode_kernel_3d():
         d = _corner_coords(b)
         k[d] = 128 >> b
     return k
+
+
+# ---------------------------------------------------------------------------
+# 2D: contour lengths (metric/lookup_tables.py:649-761 semantics)
+# ---------------------------------------------------------------------------
+
+def encode_kernel_2d():
+    """2x2 correlate kernel: weight 8 >> (2*d0 + d1)."""
+    k = np.zeros((2, 2), np.uint8)
+    for b in range(4):
+        k[(b >> 1) & 1, b & 1] = 8 >> b
+    return k
+
+
+def create_table_neighbour_code_to_contour_length(spacing):
+    """Contour length per 2x2 neighbour code, derived the same way as the 3D
+    table: crossed-edge midpoints of the unit square linked into segments
+    (a diagonal-pair code contributes one segment around each corner of the
+    cube's minority phase, 2*diag either way)."""
+    s0, s1 = float(spacing[0]), float(spacing[1])
+    corners = [((b >> 1) & 1, b & 1) for b in range(4)]
+    cidx = {c: i for i, c in enumerate(corners)}
+    # boundary cycle of the square
+    cycle = [cidx[(0, 0)], cidx[(0, 1)], cidx[(1, 1)], cidx[(1, 0)]]
+
+    def midpoint(a, b):
+        ca, cb = corners[a], corners[b]
+        return np.array([(ca[0] + cb[0]) / 2.0, (ca[1] + cb[1]) / 2.0])
+
+    table = np.zeros(16)
+    for code in range(16):
+        inside = [(code >> (3 - b)) & 1 == 1 for b in range(4)]
+        n_in = sum(inside)
+        if n_in in (0, 4):
+            continue
+        cross = []
+        for i in range(4):
+            a, b = cycle[i], cycle[(i + 1) % 4]
+            if inside[a] != inside[b]:
+                cross.append((i, (a, b)))
+        if len(cross) == 2:
+            segs = [(cross[0][1], cross[1][1])]
+        else:  # diagonal pair: one segment around each minority corner
+            minority_is_inside = n_in <= 2
+            segs = []
+            for i in range(4):
+                a = cycle[i]
+                if inside[a] == minority_is_inside:
+                    segs.append(((cycle[(i - 1) % 4], a),
+                                 (a, cycle[(i + 1) % 4])))
+        total = 0.0
+        for e1, e2 in segs:
+            d = midpoint(*e1) - midpoint(*e2)
+            total += float(np.hypot(d[0] * s0, d[1] * s1))
+        table[code] = total
+    return table

@@ -103,10 +103,13 @@ def surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray, spacing):
     Returns (dist_gt_to_pred, dist_pred_to_gt, areas_gt, areas_pred), each a
     1-D array sorted by (distance, area) within each direction.  Distances
     are EDTs (sampling=spacing) to the OTHER mask's border corners; areas are
-    the marching-cubes surfel areas from the 2x2x2 neighbour code.
+    the marching-cubes surfel areas from the 2x2x2 neighbour code (contour
+    lengths from the 2x2 code for 2D masks, metric/metrics.py:380-399).
     """
-    from ._surfel_tables import (create_table_neighbour_code_to_surface_area,
-                                 encode_kernel_3d)
+    from ._surfel_tables import (
+        create_table_neighbour_code_to_contour_length,
+        create_table_neighbour_code_to_surface_area, encode_kernel_2d,
+        encode_kernel_3d)
 
     mask_gt = np.asarray(mask_gt, dtype=bool)
     mask_pred = np.asarray(mask_pred, dtype=bool)
@@ -118,7 +121,7 @@ def surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray, spacing):
         return empty, empty, empty, empty
 
     # crop to the union bounding box, +1 voxel of zeros at the high side so
-    # the 2x2x2 correlate sees the full border (metric/metrics.py:187-201)
+    # the 2x2(x2) correlate sees the full border (metric/metrics.py:187-201)
     def crop(mask):
         out = np.zeros(tuple(bbox_max - bbox_min + 2), np.uint8)
         src = tuple(slice(lo, hi + 1) for lo, hi in zip(bbox_min, bbox_max))
@@ -126,13 +129,20 @@ def surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray, spacing):
                   zip(bbox_min, bbox_max))] = mask[src]
         return out
 
-    kernel = encode_kernel_3d()
+    if mask_gt.ndim == 2:
+        kernel = encode_kernel_2d()
+        area_table = create_table_neighbour_code_to_contour_length(spacing)
+        full = 0b1111
+    else:
+        kernel = encode_kernel_3d()
+        area_table = create_table_neighbour_code_to_surface_area(spacing)
+        full = 0b11111111
     codes_gt = ndimage.correlate(crop(mask_gt), kernel, mode="constant",
                                  cval=0)
     codes_pred = ndimage.correlate(crop(mask_pred), kernel, mode="constant",
                                    cval=0)
-    borders_gt = (codes_gt != 0) & (codes_gt != 255)
-    borders_pred = (codes_pred != 0) & (codes_pred != 255)
+    borders_gt = (codes_gt != 0) & (codes_gt != full)
+    borders_pred = (codes_pred != 0) & (codes_pred != full)
 
     if borders_gt.any():
         distmap_gt = ndimage.distance_transform_edt(~borders_gt,
@@ -145,7 +155,6 @@ def surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray, spacing):
     else:
         distmap_pred = np.full(borders_pred.shape, np.inf)
 
-    area_table = create_table_neighbour_code_to_surface_area(spacing)
     d_gt_to_pred = distmap_pred[borders_gt]
     d_pred_to_gt = distmap_gt[borders_pred]
     a_gt = area_table[codes_gt[borders_gt]]

@@ -133,3 +133,34 @@ def test_calculate_distance_matches_reference_exactly():
                                    torch.from_numpy(spacing), 3)
     np.testing.assert_allclose(asd, ref_asd, rtol=1e-12)
     np.testing.assert_allclose(hd, ref_hd, rtol=1e-12)
+
+
+def test_surface_distance_2d_matches_reference_exactly():
+    """2D masks route through the contour-length table; compare end-to-end
+    against the reference's compute_surface_distances on 2D blobs."""
+    import conftest as cf
+    cf.add_reference_to_path()
+    from metric import metrics as ref_metrics
+
+    from cbim_tpu.ops.metrics import (average_surface_distance,
+                                      robust_hausdorff, surface_distances)
+
+    rng = np.random.RandomState(11)
+    from scipy import ndimage as ndi
+    f1 = ndi.gaussian_filter(rng.rand(48, 64), 4)
+    f2 = ndi.gaussian_filter(rng.rand(48, 64), 4)
+    a = f1 > np.percentile(f1, 75)
+    b = f2 > np.percentile(f2, 75)
+    spacing = (1.25, 0.8)
+
+    d_ab, d_ba, a_ab, a_ba = surface_distances(a, b, spacing)
+    ref = ref_metrics.compute_surface_distances(a, b, spacing)
+    np.testing.assert_allclose(d_ab, ref["distances_gt_to_pred"], rtol=1e-12)
+    np.testing.assert_allclose(a_ab, ref["surfel_areas_gt"], rtol=1e-12)
+    asd = average_surface_distance(d_ab, d_ba, a_ab, a_ba)
+    ref_asd = ref_metrics.compute_average_surface_distance(ref)
+    np.testing.assert_allclose(asd, ref_asd, rtol=1e-12)
+    hd = robust_hausdorff(d_ab, d_ba, 95, a_ab, a_ba)
+    np.testing.assert_allclose(hd,
+                               ref_metrics.compute_robust_hausdorff(ref, 95),
+                               rtol=1e-12)
