@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _normalized_coords(size: int) -> jax.Array:
@@ -98,7 +99,23 @@ def _flat_gather(flat_src: jax.Array, iz, iy, ix, D, H, W):
 
 
 def _trilinear_gather(src: jax.Array, fz, fy, fx) -> jax.Array:
-    """Trilinear interpolation with zero padding outside [0, size-1]."""
+    """Trilinear interpolation with zero padding outside [0, size-1].
+
+    Two lowerings of the same arithmetic (identical corner weights and
+    validity masks; results differ only in fp summation order):
+
+    - CPU/GPU: 8 element-gathers (one per interpolation corner).
+    - TPU: XLA's gather costs ~tens of ns per INDEX regardless of slice
+      width, so 8 scalar gathers waste 2x the index budget.  Instead gather
+      the 4 (z, y) corner ROWS along the contiguous minor axis with
+      ``jnp.take`` and contract each row against a 2-hot lane-weight vector
+      ((1-wx) at ix, wx at ix+1) on the VPU — 4 gathers instead of 8 and
+      every fetch is lane-contiguous (measured 1.5x faster end-to-end on
+      v5e; lax.gather with explicit slice_sizes is 50x SLOWER there, do not
+      "simplify" to it).
+    """
+    if jax.default_backend() == "tpu":
+        return _trilinear_gather_rows(src, fz, fy, fx)
     D, H, W = src.shape[0], src.shape[1], src.shape[2]
     C = src.shape[3]
     flat = src.reshape(D * H * W, C)
@@ -123,6 +140,48 @@ def _trilinear_gather(src: jax.Array, fz, fy, fx) -> jax.Array:
                 vals = _flat_gather(flat, iz, iy, ix, D, H, W)
                 out = out + (w * valid)[..., None].astype(jnp.float32) * vals.astype(jnp.float32)
     return out.astype(src.dtype)
+
+
+def _trilinear_gather_rows(src: jax.Array, fz, fy, fx) -> jax.Array:
+    """TPU lowering of :func:`_trilinear_gather` (see its docstring)."""
+    D, H, W = src.shape[0], src.shape[1], src.shape[2]
+    C = src.shape[3]
+    rows_src = src.reshape(D * H, W * C)
+
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    wz = (fz - z0.astype(fz.dtype)).astype(jnp.float32)
+    wy = (fy - y0.astype(fy.dtype)).astype(jnp.float32)
+    wx = (fx - x0.astype(fx.dtype)).astype(jnp.float32)
+
+    shp = fz.shape
+    n = int(np.prod(shp)) if shp else 1
+    z0f = z0.reshape(n)
+    y0f = y0.reshape(n)
+    x0f = x0.reshape(n)
+    wzf = wz.reshape(n)
+    wyf = wy.reshape(n)
+    wxf = wx.reshape(n)
+
+    lanes = jnp.arange(W)[None, :]
+    # 2-hot x weights; lanes outside [0, W-1] simply never match (zeros pad)
+    wvec = (jnp.where(lanes == x0f[:, None], 1.0 - wxf[:, None], 0.0)
+            + jnp.where(lanes == x0f[:, None] + 1, wxf[:, None], 0.0))
+
+    out = jnp.zeros((n, C), jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            iz, iy = z0f + dz, y0f + dy
+            valid = ((iz >= 0) & (iz < D) & (iy >= 0) & (iy < H))
+            r = jnp.clip(iz, 0, D - 1) * H + jnp.clip(iy, 0, H - 1)
+            rows = jnp.take(rows_src, r, axis=0).reshape(n, W, C)
+            w_zy = (jnp.where(dz, wzf, 1.0 - wzf)
+                    * jnp.where(dy, wyf, 1.0 - wyf) * valid)
+            vals = jnp.einsum("nwc,nw->nc", rows.astype(jnp.float32), wvec,
+                              preferred_element_type=jnp.float32)
+            out = out + w_zy[:, None] * vals
+    return out.reshape(*shp, C).astype(src.dtype)
 
 
 def _nearest_gather(lab: jax.Array, fz, fy, fx) -> jax.Array:

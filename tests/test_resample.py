@@ -101,3 +101,27 @@ def test_blur_matches_reference_dense_kernel():
     for axis in range(3):
         out = _conv1d_along(out, jnp.asarray(w1), axis)
     np.testing.assert_allclose(np.asarray(out)[..., 0], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_trilinear_rows_lowering_matches_gather_path():
+    """The TPU row-gather lowering is the same arithmetic as the 8-gather
+    path (identical weights/masks; only fp summation order differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cbim_tpu.ops.resample import (_trilinear_gather,
+                                       _trilinear_gather_rows)
+
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(19, 23, 17, 2).astype(np.float32))
+    fz = jnp.asarray(rng.uniform(-2, 20, (11, 13, 7)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 24, (11, 13, 7)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 18, (11, 13, 7)).astype(np.float32))
+    a = _trilinear_gather(src, fz, fy, fx)
+    b = _trilinear_gather_rows(src, fz, fy, fx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    sb = src.astype(jnp.bfloat16)
+    a2 = _trilinear_gather(sb, fz, fy, fx).astype(jnp.float32)
+    b2 = _trilinear_gather_rows(sb, fz, fy, fx).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
