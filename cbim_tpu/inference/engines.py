@@ -98,8 +98,11 @@ class InferenceEngine:
         return self._whole_cache[key](img)
 
     # -- sliding window -------------------------------------------------------
-    def sliding_window(self, img: jax.Array) -> jax.Array:
-        """img: (1, *spatial, C) -> softmax probs (1, *spatial, classes)."""
+    def _prepare_windows(self, img: jax.Array, group_multiple: int = 1):
+        """Pad input up to window, enumerate window starts, group by
+        window_batch, and pad the group count to ``group_multiple`` (for
+        even division across mesh devices).  Padded entries carry valid=0
+        and contribute nothing."""
         window = self.window_size
         nd = len(window)
         spatial = img.shape[1:1 + nd]
@@ -115,32 +118,78 @@ class InferenceEngine:
         starts = _grid_starts(padded_spatial, window)
         n = starts.shape[0]
         wb = self.window_batch
-        n_pad = (-n) % wb
+        n_pad = (-n) % (wb * group_multiple)
         valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
         starts = np.concatenate([starts, np.tile(starts[:1], (n_pad, 1))], axis=0)
         groups = starts.shape[0] // wb
         starts = starts.reshape(groups, wb, nd)
         valid = valid.reshape(groups, wb)
+        return img_p, starts, valid, pads, spatial, padded_spatial
 
-        key = ("sw", padded_spatial, groups, wb)
-        if key not in self._sw_cache:
-            self._sw_cache[key] = self._build_sw(padded_spatial, window, groups, wb)
-        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
-
+    def _crop_pads(self, probs, pads, spatial):
         if any(p[1] > 0 for p in pads):
             slices = tuple([slice(None)] + [slice(0, s) for s in spatial]
                            + [slice(None)])
             probs = probs[slices]
         return probs
 
-    def _build_sw(self, spatial, window, groups, wb):
+    def sliding_window(self, img: jax.Array) -> jax.Array:
+        """img: (1, *spatial, C) -> softmax probs (1, *spatial, classes)."""
+        img_p, starts, valid, pads, spatial, padded_spatial = \
+            self._prepare_windows(img)
+        groups, wb = valid.shape
+
+        key = ("sw", padded_spatial, groups, wb)
+        if key not in self._sw_cache:
+            sweep = self._sw_sweep(padded_spatial, self.window_size, wb)
+
+            def run(img, starts, valid):
+                acc, cnt = sweep(img, starts, valid)
+                return acc / cnt
+
+            self._sw_cache[key] = jax.jit(run)
+        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
+        return self._crop_pads(probs, pads, spatial)
+
+    def sliding_window_sharded(self, img: jax.Array, mesh, axis: str = "data"
+                               ) -> jax.Array:
+        """Multi-chip sliding window: window groups are sharded across the
+        mesh's ``axis``; every device sweeps its share of windows into a
+        local (accumulator, counter) pair and the pairs are fused with one
+        ``psum`` riding ICI.  Numerics match :meth:`sliding_window` up to fp
+        summation order (same windows, same importance weights, same
+        division).
+
+        The volume itself is replicated — for the reference's window/volume
+        ratios (e.g. 32 x 128^3 windows over a 160x256x256 AMOS volume,
+        SURVEY §3.3) the sweep is compute-bound, so sharding compute while
+        replicating the modest accumulator state is the right trade; the
+        collective cost is one all-reduce of (volume x classes) at the end.
+        """
+        ndev = mesh.shape[axis]
+        img_p, starts, valid, pads, spatial, padded_spatial = \
+            self._prepare_windows(img, group_multiple=ndev)
+        groups, wb = valid.shape
+
+        key = ("sw_sharded", padded_spatial, groups, wb, axis,
+               tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
+        if key not in self._sw_cache:
+            self._sw_cache[key] = self._build_sw_sharded(
+                padded_spatial, self.window_size, wb, mesh, axis)
+        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
+        return self._crop_pads(probs, pads, spatial)
+
+    def _sw_sweep(self, spatial, window, wb):
+        """Returns ``sweep(img, starts, valid) -> (acc, cnt)``: the window
+        sweep WITHOUT the final division, so single-device and sharded
+        lowerings share it (the sharded path psums before dividing)."""
         nd = len(window)
         C = self.num_classes
         apply_fn = self.apply_fn
         importance = jnp.asarray(self._importance(window))   # (*window, 1)
 
-        def run(img, starts, valid):
-            # img: (1, *spatial, C_in)
+        def sweep(img, starts, valid):
+            # img: (1, *spatial, C_in); starts: (groups, wb, nd)
             acc = jnp.zeros((1, *spatial, C), jnp.float32)
             cnt = jnp.zeros((1, *spatial, 1), jnp.float32)
 
@@ -174,9 +223,27 @@ class InferenceEngine:
                 return (acc, cnt), None
 
             (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (starts, valid))
+            return acc, cnt
+
+        return sweep
+
+    def _build_sw_sharded(self, spatial, window, wb, mesh, axis):
+        from jax.sharding import PartitionSpec as P
+
+        sweep = self._sw_sweep(spatial, window, wb)
+
+        def local(img, starts, valid):
+            acc, cnt = sweep(img, starts, valid)
+            acc = jax.lax.psum(acc, axis)
+            cnt = jax.lax.psum(cnt, axis)
             return acc / cnt
 
-        return jax.jit(run)
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(),
+            check_vma=False)  # psum makes the output replicated
+        return jax.jit(sharded)
 
 
 def inference_whole_image(engine: InferenceEngine, img, cfg=None):

@@ -151,7 +151,8 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
 
         if (epoch + 1) % cfg.val_freq == 0:
             variables = eval_variables(state, cfg.ema)
-            dice, asd, hd = validate(model, variables, testset, cfg)
+            dice, asd, hd = validate(model, variables, testset, cfg,
+                                     mesh=mesh)
             dice, asd, hd = filter_validation_results(dice, asd, hd, cfg)
             log_evaluation_result(writer, dice, asd, hd, "test", epoch)
             if np.nanmean(dice) >= np.nanmean(best_dice[:len(dice)]) or \

@@ -37,7 +37,8 @@ def filter_validation_results(dice, asd, hd, cfg):
     return dice, asd, hd
 
 
-def validate(model, variables, testset, cfg, compute_distance: bool = True):
+def validate(model, variables, testset, cfg, compute_distance: bool = True,
+             mesh=None):
     """Returns (dice, asd, hd) arrays of length classes-1 (background excluded).
 
     Multi-host: each process evaluates a strided subset of the test volumes
@@ -46,9 +47,16 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True):
     padding-pop machinery (training/utils.py:110-145, validation.py:173-185),
     without the padding bookkeeping (missing-class filtering already makes
     per-class counts explicit).
+
+    ``mesh``: when given (and it has >1 device on its 'data' axis), 3D
+    sliding-window inference shards the window sweep across the mesh —
+    per-VOLUME multi-chip parallelism, instead of (or in addition to) the
+    per-volume process striding above.
     """
     engine = make_engine(model, variables, cfg)
     C = cfg.classes
+    shard_windows = (mesh is not None and "data" in getattr(mesh, "shape", {})
+                     and mesh.shape["data"] > 1)
 
     dice_acc = [[] for _ in range(C - 1)]
     asd_acc = [[] for _ in range(C - 1)]
@@ -71,7 +79,9 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True):
             pred = np.asarray(probs).argmax(-1)                   # (D, H, W)
         else:
             inputs = np.asarray(img, np.float32)[None, ..., None]  # (1,D,H,W,1)
-            if cfg.sliding_window:
+            if cfg.sliding_window and shard_windows:
+                probs = engine.sliding_window_sharded(inputs, mesh)
+            elif cfg.sliding_window:
                 probs = engine.sliding_window(inputs)
             else:
                 probs = engine.whole_image(inputs)
