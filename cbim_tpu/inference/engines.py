@@ -133,6 +133,23 @@ class InferenceEngine:
             probs = probs[slices]
         return probs
 
+    def _count_map(self, padded_spatial, starts, valid):
+        """The fusion denominator (visit counter x importance,
+        inference3d.py:84-88) is pure window geometry — identical for every
+        volume of a given shape and independent of the data — so it is
+        accumulated ONCE on the host and baked into the compiled program as
+        a constant, instead of scatter-accumulated on device every call."""
+        window = self.window_size
+        imp = self._importance(window)[..., 0].astype(np.float32)
+        cnt = np.zeros((1, *padded_spatial, 1), np.float32)
+        for s, v in zip(starts.reshape(-1, len(window)), valid.reshape(-1)):
+            if v > 0:
+                sl = tuple([slice(None)] +
+                           [slice(int(o), int(o) + w) for o, w in zip(s, window)]
+                           + [slice(None)])
+                cnt[sl] += imp[..., None]
+        return cnt
+
     def sliding_window(self, img: jax.Array) -> jax.Array:
         """img: (1, *spatial, C) -> softmax probs (1, *spatial, classes)."""
         img_p, starts, valid, pads, spatial, padded_spatial = \
@@ -142,10 +159,10 @@ class InferenceEngine:
         key = ("sw", padded_spatial, groups, wb)
         if key not in self._sw_cache:
             sweep = self._sw_sweep(padded_spatial, self.window_size, wb)
+            cnt = jnp.asarray(self._count_map(padded_spatial, starts, valid))
 
             def run(img, starts, valid):
-                acc, cnt = sweep(img, starts, valid)
-                return acc / cnt
+                return sweep(img, starts, valid) / cnt
 
             self._sw_cache[key] = jax.jit(run)
         probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
@@ -174,15 +191,18 @@ class InferenceEngine:
         key = ("sw_sharded", padded_spatial, groups, wb, axis,
                tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
         if key not in self._sw_cache:
+            cnt = self._count_map(padded_spatial, starts, valid)
             self._sw_cache[key] = self._build_sw_sharded(
-                padded_spatial, self.window_size, wb, mesh, axis)
+                padded_spatial, self.window_size, wb, mesh, axis, cnt)
         probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
         return self._crop_pads(probs, pads, spatial)
 
     def _sw_sweep(self, spatial, window, wb):
-        """Returns ``sweep(img, starts, valid) -> (acc, cnt)``: the window
-        sweep WITHOUT the final division, so single-device and sharded
-        lowerings share it (the sharded path psums before dividing)."""
+        """Returns ``sweep(img, starts, valid) -> acc``: the weighted
+        probability accumulator WITHOUT the final division, so single-device
+        and sharded lowerings share it (the sharded path psums before
+        dividing).  The denominator is the host-precomputed
+        :meth:`_count_map` constant."""
         nd = len(window)
         C = self.num_classes
         apply_fn = self.apply_fn
@@ -191,51 +211,44 @@ class InferenceEngine:
         def sweep(img, starts, valid):
             # img: (1, *spatial, C_in); starts: (groups, wb, nd)
             acc = jnp.zeros((1, *spatial, C), jnp.float32)
-            cnt = jnp.zeros((1, *spatial, 1), jnp.float32)
 
             def extract(s):
                 return jax.lax.dynamic_slice(
                     img, (0, *[s[a] for a in range(nd)], 0),
                     (1, *window, img.shape[-1]))[0]
 
-            def body(carry, sv):
-                acc, cnt = carry
+            def body(acc, sv):
                 s_grp, v_grp = sv                       # (wb, nd), (wb,)
                 wins = jax.vmap(extract)(s_grp)          # (wb, *window, C_in)
                 logits = apply_fn(wins)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-                def scatter(carry, i):
-                    acc, cnt = carry
+                def scatter(acc, i):
                     s = s_grp[i]
                     v = v_grp[i]
                     idx = (0, *[s[a] for a in range(nd)], 0)
                     cur = jax.lax.dynamic_slice(acc, idx, (1, *window, C))
                     acc = jax.lax.dynamic_update_slice(
                         acc, cur + probs[i][None] * importance[None] * v, idx)
-                    curc = jax.lax.dynamic_slice(cnt, idx, (1, *window, 1))
-                    cnt = jax.lax.dynamic_update_slice(
-                        cnt, curc + importance[None] * v, idx)
-                    return (acc, cnt), None
+                    return acc, None
 
-                (acc, cnt), _ = jax.lax.scan(scatter, (acc, cnt),
-                                             jnp.arange(wb))
-                return (acc, cnt), None
+                acc, _ = jax.lax.scan(scatter, acc, jnp.arange(wb))
+                return acc, None
 
-            (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (starts, valid))
-            return acc, cnt
+            acc, _ = jax.lax.scan(body, acc, (starts, valid))
+            return acc
 
         return sweep
 
-    def _build_sw_sharded(self, spatial, window, wb, mesh, axis):
+    def _build_sw_sharded(self, spatial, window, wb, mesh, axis, cnt):
         from jax.sharding import PartitionSpec as P
 
         sweep = self._sw_sweep(spatial, window, wb)
+        cnt = jnp.asarray(cnt)
 
         def local(img, starts, valid):
-            acc, cnt = sweep(img, starts, valid)
+            acc = sweep(img, starts, valid)
             acc = jax.lax.psum(acc, axis)
-            cnt = jax.lax.psum(cnt, axis)
             return acc / cnt
 
         sharded = jax.shard_map(

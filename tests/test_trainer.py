@@ -131,3 +131,38 @@ def test_sliding_window_uniform_fusion_exact():
     np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
     # probabilities sum to one everywhere (counter division exact)
     np.testing.assert_allclose(p1.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_sliding_window_matches_numpy_oracle():
+    """Full fusion semantics vs a naive numpy scatter-add oracle
+    (pad -> enumerate windows -> softmax -> prob-sum + visit-counter ->
+    divide; reference inference3d.py:44-90), with a non-constant model."""
+    from cbim_tpu.inference.engines import InferenceEngine, _grid_starts
+
+    C = 4
+    win = (16, 16, 16)
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(1, C), jnp.float32)
+
+    def apply_fn(x):                      # (B, *win, 1)
+        f = x @ w
+        return f + 0.2 * jnp.roll(f, 2, axis=2)
+
+    for shape in [(20, 24, 28), (12, 16, 16)]:   # second one needs padding
+        img = jnp.asarray(rng.rand(1, *shape, 1), jnp.float32)
+        e = InferenceEngine(apply_fn, C, window_size=win, window_batch=2)
+        got = np.asarray(e.sliding_window(img))
+
+        pads = [(0, max(0, wn - s)) for s, wn in zip(shape, win)]
+        img_np = np.pad(np.asarray(img), [(0, 0)] + pads + [(0, 0)])
+        pd = img_np.shape[1:4]
+        acc = np.zeros((*pd, C), np.float64)
+        cnt = np.zeros((*pd, 1), np.float64)
+        for s in _grid_starts(pd, win):
+            sl = tuple(slice(int(o), int(o) + wn) for o, wn in zip(s, win))
+            logits = np.asarray(apply_fn(img_np[(slice(None), *sl)]))[0]
+            ex = np.exp(logits - logits.max(-1, keepdims=True))
+            acc[sl] += ex / ex.sum(-1, keepdims=True)
+            cnt[sl] += 1.0
+        ref = (acc / cnt)[: shape[0], : shape[1], : shape[2]]
+        np.testing.assert_allclose(got[0], ref, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""End-to-end convergence parity: train the PyTorch reference and cbim_tpu on
+the SAME on-disk dataset with the SAME recipe, compare cross-validation Dice.
+
+This is the strongest behavioral-parity artifact available without the real
+ACDC download (zero-egress environment): an ACDC-like phantom dataset (4
+classes: background / RV / myocardium / LV-cavity, concentric ellipses with
+per-case pose+intensity variation) written in the reference's on-disk layout
+({name}_{0,1}.nii.gz + {name}_{0,1}_gt.nii.gz + list/dataset.yaml,
+docs/tutorial.md:85-94), consumed by BOTH frameworks' unmodified ACDC-2D
+pipelines and UNet-2D recipes.
+
+Usage:
+    python tools/parity_convergence.py gen  --workdir /tmp/parity
+    python tools/parity_convergence.py ref  --workdir /tmp/parity   # torch CPU
+    python tools/parity_convergence.py ours --workdir /tmp/parity   # jax CPU
+    python tools/parity_convergence.py report --workdir /tmp/parity
+
+The `ref` mode runs the reference's own train.py (read-only, via runpy) with
+three environment shims, none of which change its math:
+  - SimpleITK -> a reader backed by cbim_tpu's pure-numpy NIfTI parser;
+  - .cuda() -> no-op (torch CPU build);
+  - DataLoader workers -> 0 (worker processes can't see the shims).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+N_CASES = 6
+CLASSES = 4
+EPOCHS = 30
+K_FOLD = 2
+BATCH = 16
+TRAINING_SIZE = [160, 160]
+
+CONFIG = {
+    "classes": CLASSES,
+    "modality": "mri",
+    "arch": "unet",
+    "in_chan": 1,
+    "base_chan": 32,
+    "block": "SingleConv",
+    "epochs": EPOCHS,
+    "training_size": TRAINING_SIZE,
+    "start_epoch": 0,
+    "num_workers": 0,
+    "aug_device": "cpu",
+    "split_seed": 0,
+    "k_fold": K_FOLD,
+    "optimizer": "adamw",
+    "base_lr": 0.0005,
+    "betas": [0.9, 0.999],
+    "weight_decay": 0.05,
+    "weight": [0.5, 1, 1, 1],
+    "rlt": 1,
+    "scale": 0.2,
+    "rotate": 30,
+    "translate": 0,
+    "gaussian_noise_std": 0.02,
+    "additive_brightness_std": 0.3,
+    "gamma_range": [0.7, 1.4],
+    "print_freq": 5,
+    "ema": True,
+    "ema_alpha": 0.99,
+    "val_freq": 10,
+    "sliding_window": False,
+    # reference DDP block (ignored by single-GPU train.py except these reads)
+    "world_size": 1,
+    "proc_idx": 0,
+    "rank": 0,
+    "port": 10000,
+    "dist_url": "tcp://localhost:10000",
+    "dist_backend": "nccl",
+    "multiprocessing_distributed": False,
+    "reproduce_seed": 2023,
+}
+
+
+# ---------------------------------------------------------------- phantom data
+def _phantom_frame(rng: np.random.Generator, shape, phase: float):
+    """One cardiac-like frame: LV cavity (3) inside myocardium ring (2), with
+    an RV crescent (1); intensity contrast + texture noise."""
+    z, y, x = shape
+    lab = np.zeros(shape, np.uint8)
+    yy, xx = np.mgrid[0:y, 0:x].astype(np.float32)
+    cy = y / 2 + rng.uniform(-8, 8)
+    cx = x / 2 + rng.uniform(-8, 8)
+    r_lv = rng.uniform(14, 20) * (1.0 - 0.25 * phase)
+    r_myo = r_lv + rng.uniform(8, 12)
+    th = rng.uniform(0, np.pi)
+    for k in range(z):
+        sc = 1.0 - 0.35 * abs(k - z / 2) / (z / 2)      # apex-to-base taper
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        lab_k = np.zeros((y, x), np.uint8)
+        lab_k[d < r_myo * sc] = 2
+        lab_k[d < r_lv * sc] = 3
+        # RV crescent: ellipse offset along th, minus the LV+myo disk
+        ry = (yy - cy) * np.cos(th) + (xx - cx) * np.sin(th)
+        rx = -(yy - cy) * np.sin(th) + (xx - cx) * np.cos(th)
+        rv = ((ry - r_myo * sc * 1.1) / (r_myo * sc * 1.1)) ** 2 + \
+             (rx / (r_myo * sc * 0.8)) ** 2 < 1.0
+        lab_k[rv & (lab_k == 0)] = 1
+        lab[k] = lab_k
+
+    base = np.array([0.15, 0.55, 0.35, 0.75], np.float32)   # per-class signal
+    img = base[lab]
+    img += rng.normal(0, 0.05, size=shape).astype(np.float32)
+    # smooth background gradient (bias field)
+    gy = rng.uniform(-0.1, 0.1)
+    img += (gy * (yy - y / 2) / y)[None]
+    img = np.clip(img * rng.uniform(200, 400), 0, None)      # CT-ish range
+    return img.astype(np.float32), lab
+
+
+def generate(workdir: str):
+    sys.path.insert(0, REPO)
+    from cbim_tpu.data.nifti import write_nifti
+    import yaml
+
+    data_root = os.path.join(workdir, "data")
+    os.makedirs(os.path.join(data_root, "list"), exist_ok=True)
+    rng = np.random.default_rng(42)
+    names = []
+    for i in range(N_CASES):
+        name = f"phantom{i:03d}"
+        names.append(name)
+        shape = (8, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
+        for idx, phase in [(0, 0.0), (1, 1.0)]:            # ED / ES frames
+            img, lab = _phantom_frame(rng, shape, phase)
+            sp = (5.0, 1.5625, 1.5625)
+            write_nifti(os.path.join(data_root, f"{name}_{idx}.nii.gz"), img, sp)
+            write_nifti(os.path.join(data_root, f"{name}_{idx}_gt.nii.gz"),
+                        lab, sp)
+    with open(os.path.join(data_root, "list", "dataset.yaml"), "w") as f:
+        yaml.safe_dump(names, f)
+    print(f"wrote {N_CASES} cases (2 frames each) to {data_root}")
+
+
+def _write_config(workdir: str, data_root: str):
+    import yaml
+    cfg = dict(CONFIG)
+    cfg["data_root"] = data_root
+    cdir = os.path.join(workdir, "config", "acdc")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, "unet_2d.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    return os.path.join(workdir, "config")
+
+
+# ---------------------------------------------------------------- ref harness
+def run_reference(workdir: str):
+    """Run /root/reference/train.py on torch-CPU against the phantom data."""
+    import types
+
+    data_root = os.path.join(workdir, "data")
+    _write_config(workdir, data_root)
+
+    # --- shim 1: SimpleITK backed by our pure-numpy NIfTI reader
+    sys.path.insert(0, REPO)
+    from cbim_tpu.data.nifti import read_nifti
+
+    class _Img:
+        def __init__(self, n):
+            self._n = n
+
+        def GetSize(self):
+            return tuple(int(s) for s in self._n.data.shape[::-1])
+
+        def GetSpacing(self):                      # sitk (x, y, z) order
+            return tuple(float(s) for s in self._n.spacing[::-1])
+
+    sitk = types.ModuleType("SimpleITK")
+    sitk.ReadImage = lambda path: _Img(read_nifti(path))
+    sitk.GetArrayFromImage = lambda im: np.array(im._n.data)
+    sys.modules["SimpleITK"] = sitk
+
+    # --- shim 1b: stub the reference's unavailable deps (timm/monai/...)
+    # exactly as the parity tests do
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import conftest
+    conftest._stub_reference_deps()
+    if "torchvision" not in sys.modules:   # augmentation.py imports it unused
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+    # --- shim 2: .cuda() no-ops (torch CPU build)
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # --- shim 3: in-process DataLoader (worker procs can't see the shims)
+    import torch.utils.data as tud
+    _DL = tud.DataLoader
+
+    class _InlineDL(_DL):
+        def __init__(self, *a, **k):
+            k["num_workers"] = 0
+            k["persistent_workers"] = False
+            k.pop("pin_memory", None)
+            super().__init__(*a, **k)
+
+    tud.DataLoader = _InlineDL
+
+    os.chdir(workdir)
+    sys.path.insert(0, REFERENCE)
+    sys.argv = ["train.py", "--dataset", "acdc", "--model", "unet",
+                "--dimension", "2d", "--batch_size", str(BATCH),
+                "--unique_name", "parity_ref",
+                "--cp_path", os.path.join(workdir, "exp_ref/"),
+                "--log_path", os.path.join(workdir, "log_ref/")]
+    import runpy
+    runpy.run_path(os.path.join(REFERENCE, "train.py"), run_name="__main__")
+
+
+# ---------------------------------------------------------------- ours
+def run_ours(workdir: str):
+    data_root = os.path.join(workdir, "data")
+    config_root = _write_config(workdir, data_root)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, REPO)
+    sys.argv = ["train.py", "--dataset", "acdc", "--model", "unet",
+                "--dimension", "2d", "--batch_size", str(BATCH),
+                "--unique_name", "parity_ours",
+                "--config_root", config_root,
+                "--cp_path", os.path.join(workdir, "exp_ours/"),
+                "--log_path", os.path.join(workdir, "log_ours/"),
+                "--platform", "cpu"]
+    import runpy
+    runpy.run_path(os.path.join(REPO, "train.py"), run_name="__main__")
+
+
+# ---------------------------------------------------------------- report
+def _parse_cv(path: str):
+    """Mean Dice per fold from a cross_validation.txt."""
+    import re
+    with open(path) as f:
+        text = f.read()
+    # both frameworks write "Dice" arrays per fold; grab all floats per line
+    folds = []
+    for line in text.splitlines():
+        m = re.match(r"Fold\s+(\d+)\s*[:#]?\s*Dice[: ]+(.*)", line)
+        if m:
+            vals = [float(v) for v in re.findall(r"[\d.]+", m.group(2))]
+            if vals:
+                folds.append(float(np.mean(vals)))
+    return folds, text
+
+
+def report(workdir: str):
+    out = {}
+    for tag, sub in [("reference", "exp_ref"), ("ours", "exp_ours")]:
+        path = os.path.join(workdir, sub, "acdc",
+                            f"parity_{'ref' if tag == 'reference' else 'ours'}",
+                            "cross_validation.txt")
+        if not os.path.exists(path):
+            out[tag] = None
+            continue
+        folds, text = _parse_cv(path)
+        out[tag] = {"per_fold_mean_dice": folds,
+                    "mean_dice": float(np.mean(folds)) if folds else None}
+    if out.get("reference") and out.get("ours") and \
+            out["reference"]["mean_dice"] and out["ours"]["mean_dice"]:
+        out["dice_gap_pts"] = round(
+            100 * (out["ours"]["mean_dice"] - out["reference"]["mean_dice"]), 2)
+    print(json.dumps(out, indent=2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["gen", "ref", "ours", "report"])
+    ap.add_argument("--workdir", default="/tmp/parity")
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+    {"gen": generate, "ref": run_reference, "ours": run_ours,
+     "report": report}[args.mode](args.workdir)
+
+
+if __name__ == "__main__":
+    main()
