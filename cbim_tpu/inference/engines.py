@@ -97,6 +97,35 @@ class InferenceEngine:
             self._whole_cache[key] = jax.jit(fn)
         return self._whole_cache[key](img)
 
+    def whole_image_sharded(self, img: jax.Array, mesh, axis: str = "data"
+                            ) -> jax.Array:
+        """Batch-sharded whole-image inference: rows of ``img`` (e.g. the
+        slices of a 2D test volume, validation.py:39-40) are distributed
+        over the mesh's ``axis``; the batch is padded to a device multiple
+        and the padding dropped after.  Purely data-parallel — no
+        collectives."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape[axis]
+        B = img.shape[0]
+        pad = (-B) % ndev
+        if pad:
+            img = jnp.concatenate([img, jnp.zeros((pad, *img.shape[1:]),
+                                                  img.dtype)], axis=0)
+        key = ("whole_sharded", img.shape, axis,
+               tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
+        if key not in self._whole_cache:
+            sharding = NamedSharding(mesh, P(axis))
+
+            def fn(x):
+                logits = self.apply_fn(x)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+            self._whole_cache[key] = jax.jit(
+                fn, in_shardings=sharding, out_shardings=sharding)
+        probs = self._whole_cache[key](img)
+        return probs[:B] if pad else probs
+
     # -- sliding window -------------------------------------------------------
     def _prepare_windows(self, img: jax.Array, group_multiple: int = 1):
         """Pad input up to window, enumerate window starts, group by

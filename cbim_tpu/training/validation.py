@@ -75,7 +75,10 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True,
         if cfg.dimension == "2d":
             # slices become the batch dim (validation.py:39-40)
             inputs = np.asarray(img, np.float32)[..., None]       # (D, H, W, 1)
-            probs = engine.whole_image(inputs)                    # (D, H, W, C)
+            if shard_windows:
+                probs = engine.whole_image_sharded(inputs, mesh)  # (D, H, W, C)
+            else:
+                probs = engine.whole_image(inputs)
             pred = np.asarray(probs).argmax(-1)                   # (D, H, W)
         else:
             inputs = np.asarray(img, np.float32)[None, ..., None]  # (1,D,H,W,1)

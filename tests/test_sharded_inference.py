@@ -114,3 +114,21 @@ def test_validate_uses_sharded_path(monkeypatch):
                           compute_distance=False, mesh=_mesh(8))
     assert calls["sharded"] == len(testset)
     np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-6)
+
+
+def test_whole_image_sharded_matches():
+    """Batch-sharded whole-image == single-device, incl. non-divisible batch."""
+    C = 3
+    rng = np.random.RandomState(4)
+    w = jnp.asarray(rng.randn(1, C), jnp.float32)
+
+    def apply_fn(x):                      # (B, H, W, 1) -> (B, H, W, C)
+        f = x @ w
+        return f + 0.3 * jnp.roll(f, 1, axis=1)
+
+    e = InferenceEngine(apply_fn, C, window_size=None)
+    for B in (8, 5, 1):                   # divisible, padded, tiny
+        img = jnp.asarray(rng.rand(B, 24, 24, 1), jnp.float32)
+        ref = np.asarray(e.whole_image(img))
+        got = np.asarray(e.whole_image_sharded(img, _mesh(8)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

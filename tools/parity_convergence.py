@@ -193,6 +193,10 @@ def run_reference(workdir: str):
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
 
+    # --- shim 1c: numpy<2 aliases the reference relies on (np.Inf)
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+
     # --- shim 2: .cuda() no-ops (torch CPU build)
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self
