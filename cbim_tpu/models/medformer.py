@@ -173,19 +173,25 @@ class PatchMerging(nn.Module):
     def __call__(self, x, train: bool = False):
         nd = x.ndim - 2
         scale = _tuple(self.down_scale, nd)
-        merged = []
-        # loop order matches the reference's nested i/j/k channel-concat order
+        # space-to-depth as ONE reshape+transpose (vs 8 strided slices +
+        # concat, which cost ~13ms each at 128^3 on v5e); channel order
+        # matches the reference's nested i/j/k concat order exactly:
+        # out channel = ((i*s1 + j)*s2 + k)*C + c
+        B = x.shape[0]
+        C = x.shape[-1]
         if nd == 3:
-            for i in range(scale[0]):
-                for j in range(scale[1]):
-                    for k in range(scale[2]):
-                        merged.append(x[:, i::scale[0], j::scale[1], k::scale[2], :])
+            s0, s1, s2 = scale
+            D, H, W = x.shape[1:4]
+            x = x.reshape(B, D // s0, s0, H // s1, s1, W // s2, s2, C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            x = x.reshape(B, D // s0, H // s1, W // s2, s0 * s1 * s2 * C)
         else:
-            # dim2 reference order: (0,0), (1,0), (0,1), (1,1)
-            for j in range(scale[1]):
-                for i in range(scale[0]):
-                    merged.append(x[:, i::scale[0], j::scale[1], :])
-        x = jnp.concatenate(merged, axis=-1)
+            # dim2 reference order: (0,0), (1,0), (0,1), (1,1) — j-major
+            s0, s1 = scale
+            H, W = x.shape[1:3]
+            x = x.reshape(B, H // s0, s0, W // s1, s1, C)
+            x = x.transpose(0, 1, 3, 4, 2, 5)
+            x = x.reshape(B, H // s0, W // s1, s0 * s1 * C)
         # torch-default eps (reference PatchMerging norm, medformer_utils.py:158)
         x = Norm(self.norm, eps=1e-5, dtype=self.dtype)(x, train)
         if self.proj_type == "linear":

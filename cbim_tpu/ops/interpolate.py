@@ -26,17 +26,28 @@ def _resize_axis_linear(x: jax.Array, out_size: int, axis: int) -> jax.Array:
         # align_corners=True with out=1 samples position 0
         return jax.lax.slice_in_dim(x, 0, 1, axis=axis)
 
-    pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i0 = jnp.clip(i0, 0, in_size - 2)
-    w = pos - i0.astype(jnp.float32)
+    # Lower the lerp as a dense (out,in) interpolation-matrix contraction:
+    # two nonzeros per output row ((1-w) at i0, w at i0+1).  jnp.take along a
+    # spatial axis lowers to per-slice loops on TPU (hundreds of tiny ops);
+    # the matmul form is one MXU pass over the tensor instead.
+    import numpy as np
+    # same f32 arithmetic as the torch/XLA position computation
+    pos32 = (np.arange(out_size, dtype=np.float32)
+             * np.float32(in_size - 1) / np.float32(out_size - 1))
+    i0 = np.clip(np.floor(pos32).astype(np.int32), 0, in_size - 2)
+    w = pos32 - i0.astype(np.float32)
+    M = np.zeros((out_size, in_size), np.float32)
+    M[np.arange(out_size), i0] = 1.0 - w
+    M[np.arange(out_size), i0 + 1] += w
+    M = jnp.asarray(M)
 
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i0 + 1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape)
-    return (x0.astype(jnp.float32) * (1.0 - w) + x1.astype(jnp.float32) * w).astype(x.dtype)
+    letters = "abcdefghijk"
+    sub = letters[:x.ndim]
+    a = sub[axis]
+    out_sub = sub.replace(a, "z")
+    out = jnp.einsum(f"{sub},z{a}->{out_sub}", x, M,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def resize_linear(x: jax.Array, out_spatial, channel_last: bool = True) -> jax.Array:
