@@ -101,10 +101,23 @@ def import_for_model(cfg, state_dict, variables):
                              "dict (params + batch_stats)")
         res = import_transunet(state_dict, variables)
         return out(res["params"], {"batch_stats": res["batch_stats"]})
+    if name == "unet++":
+        block = getattr(cfg, "block", "SingleConv")
+        return import_unetpp(state_dict, variables, block=block)
+    if name == "attention_unet":
+        block = getattr(cfg, "block", "SingleConv")
+        return import_attention_unet(state_dict, variables, block=block,
+                                     dimension=dim)
+    if name == "vnet":
+        return import_vnet(state_dict, variables,
+                           elu=bool(getattr(cfg, "elu", True)))
+    if name == "daunet":
+        return import_daunet(state_dict, variables,
+                             block=getattr(cfg, "block", "BasicBlock"))
     raise NotImplementedError(
         f"torch-checkpoint import not implemented for {name} ({dim}); "
         f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, "
-        f"vtunet, swinunet, transunet")
+        f"vtunet, swinunet, transunet, unet++, attention_unet, vnet, daunet")
 
 
 def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
@@ -636,3 +649,245 @@ def import_transunet(state_dict, variables):
     p["Conv_10"]["kernel"] = conv_to_flax(sd["segmentation_head.0.weight"])
     p["Conv_10"]["bias"] = sd["segmentation_head.0.bias"]
     return {"params": p, "batch_stats": bs}
+
+
+# ---------------------------------------------------------------------------
+# conv-block family importers (UNet++ / AttentionUNet / VNet / DAUNet)
+# ---------------------------------------------------------------------------
+
+
+def _node(tree, path, create=False):
+    for part in path:
+        if create and part not in tree:
+            tree[part] = {}
+        tree = tree[part]
+    return tree
+
+
+def _cna_mapper(sd, p, bs):
+    """Returns cna(flax_path, torch_prefix) mapping one reference ConvNormAct
+    (conv_layers.py:16-53: .conv + .norm) including BatchNorm affine and
+    running statistics when present (bs = batch_stats tree or None)."""
+    def cna(flax_path, t):
+        node = _node(p, flax_path)
+        node["Conv_0"]["kernel"] = conv_to_flax(sd[f"{t}.conv.weight"])
+        if f"{t}.conv.bias" in sd:
+            node["Conv_0"]["bias"] = sd[f"{t}.conv.bias"]
+        if f"{t}.norm.weight" in sd:               # affine norm (bn)
+            bn = node["Norm_0"]["BatchNorm_0"]
+            bn["scale"] = sd[f"{t}.norm.weight"]
+            bn["bias"] = sd[f"{t}.norm.bias"]
+            if bs is not None and f"{t}.norm.running_mean" in sd:
+                bnn = _node(bs, (*flax_path, "Norm_0", "BatchNorm_0"))
+                bnn["mean"] = sd[f"{t}.norm.running_mean"]
+                bnn["var"] = sd[f"{t}.norm.running_var"]
+    return cna
+
+
+def _block_mapper(sd, p, bs, block):
+    """Returns map_block(flax_prefix, torch_prefix) for one SingleConv /
+    BasicBlock (conv_layers.py:56-94)."""
+    cna = _cna_mapper(sd, p, bs)
+
+    def map_block(flax_prefix, t):
+        if block == "SingleConv":
+            cna((*flax_prefix, "ConvNormAct_0"), f"{t}.conv")
+        else:   # BasicBlock
+            cna((*flax_prefix, "ConvNormAct_0"), f"{t}.conv1")
+            cna((*flax_prefix, "ConvNormAct_1"), f"{t}.conv2")
+            if f"{t}.shortcut.conv.weight" in sd:
+                cna((*flax_prefix, "ConvNormAct_2"), f"{t}.shortcut")
+    return map_block
+
+
+def _split_variables(variables):
+    import jax
+    is_vars = isinstance(variables, dict) and "params" in variables
+    params = variables["params"] if is_vars else variables
+    p = jax.tree_util.tree_map(np.asarray, params)
+    bs = None
+    if is_vars and variables.get("batch_stats"):
+        bs = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    return is_vars, p, bs
+
+
+def _merge_variables(variables, is_vars, p, bs):
+    if not is_vars:
+        return p
+    out = dict(variables)
+    out["params"] = p
+    if bs is not None:
+        out["batch_stats"] = bs
+    return out
+
+
+def import_unetpp(state_dict, variables, block: str = "SingleConv"):
+    """Map reference model/dim{2,3}/unetpp.py weights onto UNetPlusPlus.
+
+    The flax stages are numbered in forward-call order; the table below is
+    that order for the reference's conv{i}_{j} grid (unetpp.py:55-75)."""
+    sd = _to_np(state_dict)
+    is_vars, p, bs = _split_variables(variables)
+    map_block = _block_mapper(sd, p, bs, block)
+
+    order = ["conv0_0", "conv1_0", "conv0_1", "conv2_0", "conv1_1", "conv0_2",
+             "conv3_0", "conv2_1", "conv1_2", "conv0_3", "conv4_0", "conv3_1",
+             "conv2_2", "conv1_3", "conv0_4"]
+    blk = "SingleConv_" if block == "SingleConv" else "BasicBlock_"
+    for si, t in enumerate(order):
+        for j in range(2):
+            map_block((f"_Stage_{si}", f"{blk}{j}"), f"{t}.{j}")
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["output.weight"])
+    p["Conv_0"]["bias"] = sd["output.bias"]
+    return _merge_variables(variables, is_vars, p, bs)
+
+
+def import_attention_unet(state_dict, variables, block: str = "SingleConv",
+                          dimension: str = "3d"):
+    """Map reference model/dim{2,3}/attention_unet.py weights onto
+    AttentionUNet{2,3}D.  The reference's dead ``conv_ch`` convs
+    (attention_unet_utils.py:40) are skipped."""
+    sd = _to_np(state_dict)
+    is_vars, p, bs = _split_variables(variables)
+    map_block = _block_mapper(sd, p, bs, block)
+    cna = _cna_mapper(sd, p, bs)
+    blk = "SingleConv_" if block == "SingleConv" else "BasicBlock_"
+
+    p["InConv_0"]["Conv_0"]["kernel"] = conv_to_flax(sd["inc.conv1.weight"])
+    map_block(("InConv_0", f"{blk}0"), "inc.conv2")
+    for i in range(4):
+        for j in range(2):
+            map_block((f"DownBlock_{i}", f"{blk}{j}"), f"down{i+1}.conv.{j+1}")
+        up = f"AttentionUpBlock_{i}"
+        gate = p[up]["AttentionGate_0"]
+        gate["Conv_0"]["kernel"] = conv_to_flax(sd[f"up{i+1}.attn.W_g.0.weight"])
+        gate["Conv_1"]["kernel"] = conv_to_flax(sd[f"up{i+1}.attn.W_x.0.weight"])
+        gate["Conv_2"]["kernel"] = conv_to_flax(sd[f"up{i+1}.attn.psi.0.weight"])
+        for j in range(2):
+            map_block((up, f"{blk}{j}"), f"up{i+1}.conv.{j}")
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["outc.weight"])
+    p["Conv_0"]["bias"] = sd["outc.bias"]
+    return _merge_variables(variables, is_vars, p, bs)
+
+
+def import_vnet(state_dict, variables, elu: bool = True):
+    """Map reference model/dim3/vnet.py weights onto VNet.
+
+    ContBatchNorm always normalizes with batch stats (vnet.py:22-32), so only
+    its affine (weight/bias) transplants — running buffers never affect the
+    forward.  PReLU slopes map when elu=False."""
+    sd = _to_np(state_dict)
+    is_vars, p, bs = _split_variables(variables)
+
+    def cbn(node, t):
+        node["ContBatchNorm_0"]["scale"] = sd[f"{t}.bn1.weight"]
+        node["ContBatchNorm_0"]["bias"] = sd[f"{t}.bn1.bias"]
+
+    def act(node, name, tkey):
+        if not elu and tkey in sd:
+            node[name]["prelu"] = sd[tkey]
+
+    it = p["InputTransition_0"]
+    it["Conv_0"]["kernel"] = conv_to_flax(sd["in_tr.conv1.weight"])
+    it["Conv_0"]["bias"] = sd["in_tr.conv1.bias"]
+    cbn(it, "in_tr")
+    act(it, "_Act_0", "in_tr.relu1.weight")
+
+    downs = ["down_tr32", "down_tr64", "down_tr128", "down_tr256"]
+    nconvs = [1, 2, 3, 2]
+    for i, (t, nc) in enumerate(zip(downs, nconvs)):
+        d = p[f"DownTransition_{i}"]
+        d["Conv_0"]["kernel"] = conv_to_flax(sd[f"{t}.down_conv.weight"])
+        d["Conv_0"]["bias"] = sd[f"{t}.down_conv.bias"]
+        cbn(d, t)
+        act(d, "_Act_0", f"{t}.relu1.weight")
+        act(d, "_Act_1", f"{t}.relu2.weight")
+        for k in range(nc):
+            lu = d[f"LUConv_{k}"]
+            lu["Conv_0"]["kernel"] = conv_to_flax(sd[f"{t}.ops.{k}.conv1.weight"])
+            lu["Conv_0"]["bias"] = sd[f"{t}.ops.{k}.conv1.bias"]
+            cbn(lu, f"{t}.ops.{k}")
+            act(lu, "_Act_0", f"{t}.ops.{k}.relu1.weight")
+
+    ups = ["up_tr256", "up_tr128", "up_tr64", "up_tr32"]
+    nconvs = [2, 2, 1, 1]
+    for i, (t, nc) in enumerate(zip(ups, nconvs)):
+        u = p[f"UpTransition_{i}"]
+        u["ConvTranspose_0"]["kernel"] = convtranspose_to_flax(
+            sd[f"{t}.up_conv.weight"])
+        u["ConvTranspose_0"]["bias"] = sd[f"{t}.up_conv.bias"]
+        cbn(u, t)
+        act(u, "_Act_0", f"{t}.relu1.weight")
+        act(u, "_Act_1", f"{t}.relu2.weight")
+        for k in range(nc):
+            lu = u[f"LUConv_{k}"]
+            lu["Conv_0"]["kernel"] = conv_to_flax(sd[f"{t}.ops.{k}.conv1.weight"])
+            lu["Conv_0"]["bias"] = sd[f"{t}.ops.{k}.conv1.bias"]
+            cbn(lu, f"{t}.ops.{k}")
+            act(lu, "_Act_0", f"{t}.ops.{k}.relu1.weight")
+
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["out_tr.conv1.weight"])
+    p["Conv_0"]["bias"] = sd["out_tr.conv1.bias"]
+    p["ContBatchNorm_0"]["scale"] = sd["out_tr.bn1.weight"]
+    p["ContBatchNorm_0"]["bias"] = sd["out_tr.bn1.bias"]
+    act(p, "_Act_0", "out_tr.relu1.weight")
+    p["Conv_1"]["kernel"] = conv_to_flax(sd["out_tr.conv2.weight"])
+    p["Conv_1"]["bias"] = sd["out_tr.conv2.bias"]
+    return _merge_variables(variables, is_vars, p, bs)
+
+
+def import_daunet(state_dict, variables, block: str = "BasicBlock"):
+    """Map reference model/dim2/dual_attention_unet.py weights onto DAUNet2D
+    (UNet body + DAHead with PAM/CAM, BN affine + running stats)."""
+    sd = _to_np(state_dict)
+    is_vars, p, bs = _split_variables(variables)
+    map_block = _block_mapper(sd, p, bs, block)
+    blk = "SingleConv_" if block == "SingleConv" else "BasicBlock_"
+
+    def bn(flax_path, t):
+        node = _node(p, flax_path)
+        node["BatchNorm_0"]["scale"] = sd[f"{t}.weight"]
+        node["BatchNorm_0"]["bias"] = sd[f"{t}.bias"]
+        if bs is not None:
+            bnn = _node(bs, (*flax_path, "BatchNorm_0"))
+            bnn["mean"] = sd[f"{t}.running_mean"]
+            bnn["var"] = sd[f"{t}.running_var"]
+
+    def conv(flax_path, t, bias=True):
+        node = _node(p, flax_path)
+        node["kernel"] = conv_to_flax(sd[f"{t}.weight"])
+        if bias and f"{t}.bias" in sd:
+            node["bias"] = sd[f"{t}.bias"]
+
+    p["InConv_0"]["Conv_0"]["kernel"] = conv_to_flax(sd["inc.conv1.weight"])
+    map_block(("InConv_0", f"{blk}0"), "inc.conv2")
+    for i in range(4):
+        for j in range(2):
+            map_block((f"DownBlock_{i}", f"{blk}{j}"), f"down{i+1}.conv.{j+1}")
+        for j in range(2):
+            map_block((f"UpBlock2D_{i}", f"{blk}{j}"), f"up{i+1}.conv.{j}")
+        if f"up{i+1}.conv_ch.weight" in sd:
+            conv((f"UpBlock2D_{i}", "Conv_0"), f"up{i+1}.conv_ch")
+
+    da = "DAHead_0"
+    bn((da, "Norm_0"), "DAModule.conv_a.0")
+    conv((da, "Conv_0"), "DAModule.conv_a.2")
+    pam = (da, "PAM_0")
+    conv((*pam, "Conv_0"), "DAModule.sa.query_conv")
+    conv((*pam, "Conv_1"), "DAModule.sa.key_conv")
+    conv((*pam, "Conv_2"), "DAModule.sa.value_conv")
+    _node(p, pam)["gamma"] = sd["DAModule.sa.gamma"]
+    bn((da, "Norm_1"), "DAModule.conv_a_1.0")
+    conv((da, "Conv_1"), "DAModule.conv_a_1.2")
+    bn((da, "Norm_2"), "DAModule.conv_c.0")
+    conv((da, "Conv_2"), "DAModule.conv_c.2")
+    _node(p, (da, "CAM_0"))["gamma"] = sd["DAModule.sc.gamma"]
+    bn((da, "Norm_3"), "DAModule.conv_c_1.0")
+    conv((da, "Conv_3"), "DAModule.conv_c_1.2")
+    conv((da, "Conv_4"), "DAModule.fuse_out.1")
+    conv((da, "Conv_5"), "DAModule.conv_a_out.1")
+    conv((da, "Conv_6"), "DAModule.conv_c_out.1")
+
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["outc.weight"])
+    p["Conv_0"]["bias"] = sd["outc.bias"]
+    return _merge_variables(variables, is_vars, p, bs)
