@@ -437,7 +437,9 @@ class UpBlockMF2D(nn.Module):
 
         x_low = resize_linear(x_low, x_skip.shape[1:-1])
         feat = jnp.concatenate([x_low, x_skip], axis=-1)
-        out = Norm(self.norm, dtype=self.dtype)(feat, train)
+        # reference up_block builds norm(in_ch+out_ch) with torch-default eps
+        # (dim2 medformer_utils.py:306) — 1e-5, not ConvNormAct's 1e-4
+        out = Norm(self.norm, eps=1e-5, dtype=self.dtype)(feat, train)
         out = nn.Conv(self.out_ch, (1, 1), use_bias=False,
                       kernel_init=torch_conv_init, dtype=self.dtype)(out)
 

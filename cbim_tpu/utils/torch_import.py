@@ -87,6 +87,12 @@ def import_for_model(cfg, state_dict, variables):
         return out(import_medformer3d(state_dict, params, cfg.conv_num,
                                       cfg.trans_num, cfg.num_heads, chan_num,
                                       cfg.fusion_depth))
+    if name == "medformer" and dim == "2d":
+        return import_medformer2d(state_dict, variables, cfg.conv_num,
+                                  cfg.trans_num, cfg.num_heads, cfg.base_chan,
+                                  fusion_depth=cfg.fusion_depth,
+                                  fusion_heads=cfg.fusion_heads,
+                                  aux_loss=bool(getattr(cfg, "aux_loss", True)))
     if name == "nnformer":
         return out(import_nnformer3d(state_dict, params))
     if name == "vtunet":
@@ -890,4 +896,169 @@ def import_daunet(state_dict, variables, block: str = "BasicBlock"):
 
     p["Conv_0"]["kernel"] = conv_to_flax(sd["outc.weight"])
     p["Conv_0"]["bias"] = sd["outc.bias"]
+    return _merge_variables(variables, is_vars, p, bs)
+
+
+def import_medformer2d(state_dict, variables, conv_num, trans_num, num_heads,
+                       base_ch, fusion_depth: int = 2, fusion_heads: int = 4,
+                       aux_loss: bool = True):
+    """Map reference model/dim2/medformer.py weights onto MedFormer2D.
+
+    Unlike the 3D flagship (norm='in', parameter-free), the 2D variant uses
+    BatchNorm everywhere (dim2 medformer.py:12 norm=nn.BatchNorm2d), so this
+    transplants BN affine + running statistics through every block, the
+    B-MHA pre-norms (norm1/norm2), the PatchMerging norm, and the up-block
+    concat norm.  Head-channel permutations are shared with the 3D importer
+    (_bmha_perm): the reference splits inner channels dim-head-major."""
+    sd = _to_np(state_dict)
+    is_vars, p, bs = _split_variables(variables)
+    cna = _cna_mapper(sd, p, bs)
+    map_block = _block_mapper(sd, p, bs, "BasicBlock")
+    cn = [2 * base_ch, 4 * base_ch, 8 * base_ch, 16 * base_ch,
+          8 * base_ch, 4 * base_ch, 2 * base_ch, base_ch]
+    dim_head = [cn[i] // num_heads[i] for i in range(8)]
+
+    def put(path, tkey, transform=None, is_conv=True):
+        w = sd[tkey]
+        if transform is not None:
+            w = transform(w)
+        w = conv_to_flax(w) if is_conv else np.asarray(w)
+        node = _node(p, path[:-1])
+        assert node[path[-1]].shape == w.shape, (path, tkey,
+                                                 node[path[-1]].shape, w.shape)
+        node[path[-1]] = w
+
+    def bn(flax_path, t):
+        node = _node(p, flax_path)
+        node["BatchNorm_0"]["scale"] = sd[f"{t}.weight"]
+        node["BatchNorm_0"]["bias"] = sd[f"{t}.bias"]
+        if bs is not None:
+            bnn = _node(bs, (*flax_path, "BatchNorm_0"))
+            bnn["mean"] = sd[f"{t}.running_mean"]
+            bnn["var"] = sd[f"{t}.running_var"]
+
+    def dwsep(prefix, tkey, out_perm=None, in_perm=None):
+        def dw(w):
+            return w[in_perm] if in_perm is not None else w
+
+        def pw(w):
+            if out_perm is not None:
+                w = w[out_perm]
+            if in_perm is not None:
+                w = w[:, in_perm]
+            return w
+        put((*prefix, "Conv_0", "kernel"), f"{tkey}.depthwise.weight",
+            transform=dw)
+        put((*prefix, "Conv_1", "kernel"), f"{tkey}.pointwise.weight",
+            transform=pw)
+
+    def mbconv(prefix, tkey):
+        cna((*prefix, "ConvNormAct_0"), f"{tkey}.expand_proj")
+        cna((*prefix, "ConvNormAct_1"), f"{tkey}.depthwise")
+        se = _node(p, (*prefix, "SEBlock_0"))
+        # dim2 MBConv names its SE module `se_block` (dim2 conv_layers.py:208)
+        se_t = f"{tkey}.se_block.excitation"
+        se["Conv_0"]["kernel"] = conv_to_flax(sd[f"{se_t}.0.weight"])
+        se["Conv_0"]["bias"] = sd[f"{se_t}.0.bias"]
+        se["Conv_1"]["kernel"] = conv_to_flax(sd[f"{se_t}.2.weight"])
+        se["Conv_1"]["bias"] = sd[f"{se_t}.2.bias"]
+        cna((*prefix, "ConvNormAct_2"), f"{tkey}.pointwise")
+
+    def bmha_block(prefix, tkey, heads, dh, has_shortcut):
+        inner = heads * dh
+        perm = _bmha_perm(heads, dh)
+        qv_perm = np.concatenate([perm, inner + perm])
+        bn((*prefix, "Norm_0"), f"{tkey}.norm1")
+        bn((*prefix, "Norm_1"), f"{tkey}.norm2")
+        attn = (*prefix, "BidirectionAttention_0")
+        dwsep((*attn, "DepthwiseSeparableConv_0"), f"{tkey}.attn.feat_qv",
+              out_perm=qv_perm)
+        put((*attn, "Conv_0", "kernel"), f"{tkey}.attn.map_qv.weight",
+            transform=lambda w: w[qv_perm])
+        dwsep((*attn, "DepthwiseSeparableConv_1"), f"{tkey}.attn.feat_out",
+              in_perm=perm)
+        put((*attn, "Conv_1", "kernel"), f"{tkey}.attn.map_out.weight",
+            transform=lambda w: w[:, perm])
+        if has_shortcut:
+            cna((*prefix, "ConvNormAct_0"), f"{tkey}.shortcut")
+        mbconv((*prefix, "MBConv_0"), f"{tkey}.feedforward")
+
+    # --- encoder -------------------------------------------------------------
+    put(("InConvMF_0", "Conv_0", "kernel"), "inc.conv1.weight")
+    map_block(("InConvMF_0", "BasicBlock_0"), "inc.conv2")
+
+    for i in range(4):
+        t = f"down{i + 1}"
+        f = f"DownBlockMF_{i}"
+        bn((f, "PatchMerging_0", "Norm_0"), f"{t}.patch_merging.norm")
+        dwsep((f, "PatchMerging_0", "DepthwiseSeparableConv_0"),
+              f"{t}.patch_merging.reduction")
+        for j in range(conv_num[i]):
+            map_block((f, f"BasicBlock_{j}"), f"{t}.conv_blocks.{j}")
+        if i > 0:
+            put((f, "SemanticMapGeneration_0", "Conv_0", "kernel"),
+                f"{t}.map_gen.base_proj.weight")
+            put((f, "SemanticMapGeneration_0", "Conv_1", "kernel"),
+                f"{t}.map_gen.semantic_proj.weight")
+        for j in range(trans_num[i]):
+            bmha_block((f, "BasicLayer_0", f"BidirectionAttentionBlock_{j}"),
+                       f"{t}.trans_blocks.blocks.{j}",
+                       num_heads[i], dim_head[i], has_shortcut=False)
+
+    # --- map fusion (identical structure to 3D) -------------------------------
+    mf = "SemanticMapFusion_0"
+    for i in range(3):
+        put((mf, f"Conv_{i}", "kernel"), f"map_fusion.in_proj.{i}.weight")
+        put((mf, f"Conv_{i + 3}", "kernel"), f"map_fusion.out_proj.{i}.weight")
+    tb = (mf, "TransformerBlock_0")
+    # dim2 trans_layers merges attention heads dim-head-major on the way OUT
+    # (einops 'b heads l dim_head -> b l (dim_head heads)', dim2
+    # trans_layers.py:68) whereas the dim3 vendored rearrange2 merges
+    # heads-major -- permute to_out's input columns accordingly
+    inner = sd["map_fusion.fusion.layers.0.0.fn.to_out.weight"].shape[1]
+    out_perm = _bmha_perm(fusion_heads, inner // fusion_heads)
+    for d in range(fusion_depth):
+        base = f"map_fusion.fusion.layers.{d}"
+        node = _node(p, tb)
+        node[f"LayerNorm_{2 * d}"]["scale"] = sd[f"{base}.0.norm.weight"]
+        node[f"LayerNorm_{2 * d}"]["bias"] = sd[f"{base}.0.norm.bias"]
+        put((*tb, f"Attention_{d}", "Dense_0", "kernel"),
+            f"{base}.0.fn.to_qkv.weight", is_conv=False,
+            transform=linear_to_flax)
+        put((*tb, f"Attention_{d}", "Dense_1", "kernel"),
+            f"{base}.0.fn.to_out.weight", is_conv=False,
+            transform=lambda w: linear_to_flax(w[:, out_perm]))
+        node[f"Attention_{d}"]["Dense_1"]["bias"] = sd[f"{base}.0.fn.to_out.bias"]
+        node[f"LayerNorm_{2 * d + 1}"]["scale"] = sd[f"{base}.1.norm.weight"]
+        node[f"LayerNorm_{2 * d + 1}"]["bias"] = sd[f"{base}.1.norm.bias"]
+        put((*tb, f"Mlp_{d}", "Dense_0", "kernel"), f"{base}.1.fn.fc1.weight",
+            is_conv=False, transform=linear_to_flax)
+        node[f"Mlp_{d}"]["Dense_0"]["bias"] = sd[f"{base}.1.fn.fc1.bias"]
+        put((*tb, f"Mlp_{d}", "Dense_1", "kernel"), f"{base}.1.fn.fc2.weight",
+            is_conv=False, transform=linear_to_flax)
+        node[f"Mlp_{d}"]["Dense_1"]["bias"] = sd[f"{base}.1.fn.fc2.bias"]
+
+    # --- decoder --------------------------------------------------------------
+    for u in range(4):
+        t = f"up{u + 1}"
+        f = f"UpBlockMF2D_{u}"
+        stage = 4 + u
+        bn((f, "Norm_0"), f"{t}.norm")
+        put((f, "Conv_0", "kernel"), f"{t}.reduction.weight")
+        put((f, "Conv_1", "kernel"), f"{t}.map_reduction.weight")
+        for j in range(trans_num[stage]):
+            bmha_block((f, "BasicLayer_0", f"BidirectionAttentionBlock_{j}"),
+                       f"{t}.trans_blocks.blocks.{j}",
+                       num_heads[stage], dim_head[stage], has_shortcut=False)
+        for j in range(conv_num[stage]):
+            map_block((f, f"BasicBlock_{j}"), f"{t}.conv_blocks.{j}")
+
+    if aux_loss:
+        put(("Conv_0", "kernel"), "aux_out.weight")
+        p["Conv_0"]["bias"] = sd["aux_out.bias"]
+        put(("Conv_1", "kernel"), "outc.weight")
+        p["Conv_1"]["bias"] = sd["outc.bias"]
+    else:
+        put(("Conv_0", "kernel"), "outc.weight")
+        p["Conv_0"]["bias"] = sd["outc.bias"]
     return _merge_variables(variables, is_vars, p, bs)

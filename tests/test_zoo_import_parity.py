@@ -125,3 +125,47 @@ def test_daunet_forward_matches_torch():
         ref_out = _np_out(ref(_to_torch(x)))
     out = np.asarray(ours.apply(new_vars, jnp.asarray(x), train=False))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
+
+
+def test_medformer2d_forward_matches_torch():
+    """2D flagship transplant: BN affine + running stats through every block,
+    B-MHA head-channel permutation, up-block concat norm."""
+    cf.add_reference_to_path()
+    from model.dim2.medformer import MedFormer as Ref
+
+    from cbim_tpu.models.medformer import MedFormer2D
+    from cbim_tpu.utils.torch_import import import_medformer2d
+
+    torch.manual_seed(8)
+    conv_num = [2, 1, 0, 0, 0, 1, 2, 2]
+    trans_num = [0, 1, 2, 2, 2, 1, 0, 0]
+    heads = [1, 4, 8, 16, 8, 4, 1, 1]
+    ref = Ref(1, 4, base_chan=8, map_size=4, conv_num=conv_num,
+              trans_num=trans_num, num_heads=heads, fusion_depth=2,
+              fusion_dim=64, fusion_heads=4, aux_loss=True)
+    # perturb BN running stats so their transplant is actually exercised
+    with torch.no_grad():
+        ref.train()
+        ref(torch.randn(2, 1, 64, 64))
+    ref.eval()
+
+    ours = MedFormer2D(num_classes=4, base_ch=8, map_size=4,
+                       conv_num=tuple(conv_num), trans_num=tuple(trans_num),
+                       num_heads=tuple(heads), fusion_depth=2, fusion_dim=64,
+                       fusion_heads=4, norm="bn", act="relu", aux_loss=True)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 64, 64, 1)), train=False)
+    new_vars = import_medformer2d(ref.state_dict(), variables, conv_num,
+                                  trans_num, heads, base_ch=8,
+                                  fusion_depth=2, fusion_heads=4,
+                                  aux_loss=True)
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(1, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_aux = ref(_to_torch(x))
+    out, aux = ours.apply(new_vars, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), _np_out(ref_out),
+                               rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(aux), _np_out(ref_aux),
+                               rtol=2e-3, atol=5e-4)
