@@ -73,12 +73,19 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         state, start_epoch = load_checkpoint(cfg.load, state)
         logging.info("Resumed from %s at epoch %d", cfg.load, start_epoch)
     elif cfg.pretrain and cfg.get("init_model"):
-        # initialize from a PyTorch-reference checkpoint (.pth) via the
-        # numerically-verified transplant (utils/torch_import.py)
+        # initialize from a PyTorch-reference checkpoint (.pth) — or, for
+        # transunet, the official R50+ViT-B_16 backbone .npz (the reference's
+        # model/utils.py:52 pretrain path) — via the numerically-verified
+        # transplants (utils/torch_import.py)
         from ..utils.torch_import import import_for_model, load_torch_state_dict
-        sd = load_torch_state_dict(cfg.init_model)
-        new_vars = import_for_model(cfg, sd, {"params": state.params,
-                                              "batch_stats": state.batch_stats})
+        cur_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        if str(cfg.init_model).endswith(".npz") and cfg.model == "transunet":
+            import numpy as _np
+            from ..utils.torch_import import import_transunet_npz
+            new_vars = import_transunet_npz(_np.load(cfg.init_model), cur_vars)
+        else:
+            sd = load_torch_state_dict(cfg.init_model)
+            new_vars = import_for_model(cfg, sd, cur_vars)
         import jax.numpy as _jnp
         params = new_vars["params"]
         stats = new_vars.get("batch_stats", state.batch_stats)

@@ -566,7 +566,7 @@ def import_unet(state_dict, params, block: str = "SingleConv",
     return p
 
 
-def import_transunet(state_dict, variables):
+def import_transunet(state_dict, variables, strict: bool = True):
     """Map reference model/dim2/transunet.py (vendored R50-ViT-B_16) weights
     onto our TransUNet {params, batch_stats}.
 
@@ -574,6 +574,10 @@ def import_transunet(state_dict, variables):
     the ViT-B/16 encoder (q/k/v/out Linears fused into our qkv Dense), and
     the DecoderCup conv+BN blocks including running statistics.
     Verified numerically in tests/test_forward_parity.py.
+
+    strict=False skips torch keys that are absent (encoder-only pretrained
+    checkpoints: decoder/head keep their fresh initialization) — the backbone
+    behavior of the reference's ``--pretrain`` npz path (model/utils.py:52).
     """
     sd = _to_np(state_dict)
     import jax
@@ -640,6 +644,9 @@ def import_transunet(state_dict, variables):
 
     # --- DecoderCup + head ---------------------------------------------------
     def conv_bn(ci, bni, tconv, tbn):
+        if f"{tconv}.weight" not in sd:
+            assert not strict, f"missing {tconv}.weight"
+            return
         p[f"Conv_{ci}"]["kernel"] = conv_to_flax(sd[f"{tconv}.weight"])
         p[f"BatchNorm_{bni}"]["scale"] = sd[f"{tbn}.weight"]
         p[f"BatchNorm_{bni}"]["bias"] = sd[f"{tbn}.bias"]
@@ -652,8 +659,11 @@ def import_transunet(state_dict, variables):
                 f"decoder.blocks.{i}.conv1.0", f"decoder.blocks.{i}.conv1.1")
         conv_bn(3 + 2 * i, 2 + 2 * i,
                 f"decoder.blocks.{i}.conv2.0", f"decoder.blocks.{i}.conv2.1")
-    p["Conv_10"]["kernel"] = conv_to_flax(sd["segmentation_head.0.weight"])
-    p["Conv_10"]["bias"] = sd["segmentation_head.0.bias"]
+    if "segmentation_head.0.weight" in sd:
+        p["Conv_10"]["kernel"] = conv_to_flax(sd["segmentation_head.0.weight"])
+        p["Conv_10"]["bias"] = sd["segmentation_head.0.bias"]
+    else:
+        assert not strict, "missing segmentation_head.0.weight"
     return {"params": p, "batch_stats": bs}
 
 
@@ -1062,3 +1072,92 @@ def import_medformer2d(state_dict, variables, conv_num, trans_num, num_heads,
         put(("Conv_0", "kernel"), "outc.weight")
         p["Conv_0"]["bias"] = sd["outc.bias"]
     return _merge_variables(variables, is_vars, p, bs)
+
+
+def import_transunet_npz(npz, variables):
+    """Load the official R50+ViT-B_16 ``.npz`` pretrained weights (the
+    reference's ``--pretrain`` path, model/utils.py:52 + transunet.py:786
+    load_from) into our TransUNet variables.
+
+    The npz is converted to the reference's torch state_dict naming with the
+    same transforms the reference applies (HWIO->OIHW convs, fused-head qkv
+    reshape + transpose, cls-token drop / bilinear grid zoom for the position
+    embedding), then routed through the numerically-verified
+    :func:`import_transunet` (strict=False: decoder + head keep their fresh
+    init, exactly like the reference)."""
+    w = {k: np.asarray(npz[k]) for k in
+         (npz.files if hasattr(npz, "files") else npz.keys())}
+    sd = {}
+
+    def conv(t):
+        return w[t].transpose(3, 2, 0, 1)
+
+    hidden = w["embedding/kernel"].shape[-1]
+    sd["transformer.embeddings.patch_embeddings.weight"] = conv("embedding/kernel")
+    sd["transformer.embeddings.patch_embeddings.bias"] = w["embedding/bias"]
+    sd["transformer.encoder.encoder_norm.weight"] = \
+        w["Transformer/encoder_norm/scale"].reshape(-1)
+    sd["transformer.encoder.encoder_norm.bias"] = \
+        w["Transformer/encoder_norm/bias"].reshape(-1)
+
+    posemb = w["Transformer/posembed_input/pos_embedding"]
+    tgt = variables["params"]["position_embeddings"].shape
+    if posemb.shape != tuple(tgt):
+        if posemb.shape[1] - 1 == tgt[1]:
+            posemb = posemb[:, 1:]          # drop the cls token (seg)
+        else:
+            # reference zoom path (transunet.py:812-830): drop cls, bilinear
+            # zoom the grid to the new token count
+            from scipy import ndimage
+            grid = posemb[0, 1:]
+            gs_old = int(np.sqrt(grid.shape[0]))
+            gs_new = int(np.sqrt(tgt[1]))
+            grid = grid.reshape(gs_old, gs_old, -1)
+            grid = ndimage.zoom(grid, (gs_new / gs_old, gs_new / gs_old, 1),
+                                order=1)
+            posemb = grid.reshape(1, gs_new * gs_new, -1)
+    sd["transformer.embeddings.position_embeddings"] = posemb
+
+    n_layers = sum(1 for k in w
+                   if k.startswith("Transformer/encoderblock_")
+                   and k.endswith("LayerNorm_0/scale"))
+    attn = "MultiHeadDotProductAttention_1"
+    for i in range(n_layers):
+        R = f"Transformer/encoderblock_{i}"
+        t = f"transformer.encoder.layer.{i}"
+        for n in ("query", "key", "value"):
+            sd[f"{t}.attn.{n}.weight"] = \
+                w[f"{R}/{attn}/{n}/kernel"].reshape(hidden, hidden).T
+            sd[f"{t}.attn.{n}.bias"] = w[f"{R}/{attn}/{n}/bias"].reshape(-1)
+        sd[f"{t}.attn.out.weight"] = \
+            w[f"{R}/{attn}/out/kernel"].reshape(hidden, hidden).T
+        sd[f"{t}.attn.out.bias"] = w[f"{R}/{attn}/out/bias"].reshape(-1)
+        sd[f"{t}.ffn.fc1.weight"] = w[f"{R}/MlpBlock_3/Dense_0/kernel"].T
+        sd[f"{t}.ffn.fc1.bias"] = w[f"{R}/MlpBlock_3/Dense_0/bias"].reshape(-1)
+        sd[f"{t}.ffn.fc2.weight"] = w[f"{R}/MlpBlock_3/Dense_1/kernel"].T
+        sd[f"{t}.ffn.fc2.bias"] = w[f"{R}/MlpBlock_3/Dense_1/bias"].reshape(-1)
+        sd[f"{t}.attention_norm.weight"] = w[f"{R}/LayerNorm_0/scale"].reshape(-1)
+        sd[f"{t}.attention_norm.bias"] = w[f"{R}/LayerNorm_0/bias"].reshape(-1)
+        sd[f"{t}.ffn_norm.weight"] = w[f"{R}/LayerNorm_2/scale"].reshape(-1)
+        sd[f"{t}.ffn_norm.bias"] = w[f"{R}/LayerNorm_2/bias"].reshape(-1)
+
+    if "conv_root/kernel" in w:            # hybrid ResNetV2 stem
+        hm = "transformer.embeddings.hybrid_model"
+        sd[f"{hm}.root.conv.weight"] = conv("conv_root/kernel")
+        sd[f"{hm}.root.gn.weight"] = w["gn_root/scale"].reshape(-1)
+        sd[f"{hm}.root.gn.bias"] = w["gn_root/bias"].reshape(-1)
+        block_units = (3, 4, 9)
+        for bi, units in enumerate(block_units):
+            for u in range(1, units + 1):
+                src = f"block{bi + 1}/unit{u}"
+                t = f"{hm}.body.block{bi + 1}.unit{u}"
+                for ci in (1, 2, 3):
+                    sd[f"{t}.conv{ci}.weight"] = conv(f"{src}/conv{ci}/kernel")
+                    sd[f"{t}.gn{ci}.weight"] = w[f"{src}/gn{ci}/scale"].reshape(-1)
+                    sd[f"{t}.gn{ci}.bias"] = w[f"{src}/gn{ci}/bias"].reshape(-1)
+                if u == 1:
+                    sd[f"{t}.downsample.weight"] = conv(f"{src}/conv_proj/kernel")
+                    sd[f"{t}.gn_proj.weight"] = w[f"{src}/gn_proj/scale"].reshape(-1)
+                    sd[f"{t}.gn_proj.bias"] = w[f"{src}/gn_proj/bias"].reshape(-1)
+
+    return import_transunet(sd, variables, strict=False)

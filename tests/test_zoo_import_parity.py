@@ -169,3 +169,91 @@ def test_medformer2d_forward_matches_torch():
                                rtol=2e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(aux), _np_out(ref_aux),
                                rtol=2e-3, atol=5e-4)
+
+
+def test_transunet_npz_pretrain_matches_reference_load_from():
+    """Official .npz backbone loading: a synthetic R50+ViT-B_16-shaped npz is
+    loaded by the reference's load_from and by import_transunet_npz; with the
+    same decoder/head init both forwards must agree (backbone transplant is
+    what the npz provides — decoder stays fresh in both)."""
+    cf.add_reference_to_path()
+    from model.dim2 import VisionTransformer as RefViT
+    from model.dim2.transunet import CONFIGS
+
+    from cbim_tpu.models.transunet import TransUNet
+    from cbim_tpu.utils.torch_import import (import_transunet,
+                                             import_transunet_npz)
+
+    rng = np.random.RandomState(10)
+
+    def r(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    hidden, mlp, heads, dh = 768, 3072, 12, 64
+    w = {
+        "embedding/kernel": r(1, 1, 1024, hidden),
+        "embedding/bias": r(hidden),
+        "Transformer/encoder_norm/scale": 1 + r(hidden),
+        "Transformer/encoder_norm/bias": r(hidden),
+        # 197 tokens (cls + 14x14): exercises the cls-drop path
+        "Transformer/posembed_input/pos_embedding": r(1, 197, hidden),
+        "conv_root/kernel": r(7, 7, 3, 64),
+        "gn_root/scale": 1 + r(64),
+        "gn_root/bias": r(64),
+    }
+    a = "MultiHeadDotProductAttention_1"
+    for i in range(12):
+        R = f"Transformer/encoderblock_{i}"
+        for n in ("query", "key", "value"):
+            w[f"{R}/{a}/{n}/kernel"] = r(hidden, heads, dh)
+            w[f"{R}/{a}/{n}/bias"] = r(heads, dh)
+        w[f"{R}/{a}/out/kernel"] = r(heads, dh, hidden)
+        w[f"{R}/{a}/out/bias"] = r(hidden)
+        w[f"{R}/MlpBlock_3/Dense_0/kernel"] = r(hidden, mlp)
+        w[f"{R}/MlpBlock_3/Dense_0/bias"] = r(mlp)
+        w[f"{R}/MlpBlock_3/Dense_1/kernel"] = r(mlp, hidden)
+        w[f"{R}/MlpBlock_3/Dense_1/bias"] = r(hidden)
+        w[f"{R}/LayerNorm_0/scale"] = 1 + r(hidden)
+        w[f"{R}/LayerNorm_0/bias"] = r(hidden)
+        w[f"{R}/LayerNorm_2/scale"] = 1 + r(hidden)
+        w[f"{R}/LayerNorm_2/bias"] = r(hidden)
+    widths = [(64, 256), (256, 512), (512, 1024)]
+    for bi, units in enumerate((3, 4, 9)):
+        cin, cout = widths[bi]
+        cmid = cout // 4
+        for u in range(1, units + 1):
+            src = f"block{bi + 1}/unit{u}"
+            ci = cin if u == 1 else cout
+            w[f"{src}/conv1/kernel"] = r(1, 1, ci, cmid)
+            w[f"{src}/conv2/kernel"] = r(3, 3, cmid, cmid)
+            w[f"{src}/conv3/kernel"] = r(1, 1, cmid, cout)
+            for gi, c in (("gn1", cmid), ("gn2", cmid), ("gn3", cout)):
+                w[f"{src}/{gi}/scale"] = 1 + r(c)
+                w[f"{src}/{gi}/bias"] = r(c)
+            if u == 1:
+                w[f"{src}/conv_proj/kernel"] = r(1, 1, ci, cout)
+                w[f"{src}/gn_proj/scale"] = 1 + r(cout)
+                w[f"{src}/gn_proj/bias"] = r(cout)
+
+    rcfg = CONFIGS["R50-ViT-B_16"]
+    rcfg.n_classes = 4
+    rcfg.n_skip = 3
+    rcfg.patches.grid = (14, 14)
+    torch.manual_seed(11)
+    ref = RefViT(rcfg, img_size=224, num_classes=4).eval()
+    ref.load_from(weights=w)
+
+    ours = TransUNet(num_classes=4, img_size=224)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 224, 224, 1)), train=False)
+    # align the (randomly initialized) decoder/head first so the comparison
+    # isolates the npz backbone path, then load the npz on top
+    variables = import_transunet(ref.state_dict(), variables)
+    newv = import_transunet_npz(w, variables)
+
+    x = rng.randn(1, 224, 224, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    out = np.asarray(ours.apply(newv, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
