@@ -83,6 +83,20 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
             import numpy as _np
             from ..utils.torch_import import import_transunet_npz
             new_vars = import_transunet_npz(_np.load(cfg.init_model), cur_vars)
+        elif cfg.model == "swinunet":
+            import torch as _torch
+            ckpt = _torch.load(cfg.init_model, map_location="cpu",
+                               weights_only=False)
+            if isinstance(ckpt, dict) and "model" in ckpt:
+                # official swin-tiny ImageNet checkpoint (reference
+                # model/utils.py:64 load_from path)
+                from ..utils.torch_import import import_swinunet_pth
+                new_vars = dict(cur_vars)
+                new_vars["params"] = import_swinunet_pth(
+                    ckpt, cur_vars["params"])
+            else:
+                sd = load_torch_state_dict(cfg.init_model)
+                new_vars = import_for_model(cfg, sd, cur_vars)
         else:
             sd = load_torch_state_dict(cfg.init_model)
             new_vars = import_for_model(cfg, sd, cur_vars)

@@ -444,35 +444,55 @@ def import_vtunet(state_dict, params, depths=(2, 2, 2, 1)):
     return p
 
 
-def import_swinunet(state_dict, params, depths=(2, 2, 6, 2)):
-    """Map reference model/dim2/swin_unet.py weights onto our SwinUnet2D."""
+def import_swinunet(state_dict, params, depths=(2, 2, 6, 2),
+                    strict: bool = True):
+    """Map reference model/dim2/swin_unet.py weights onto our SwinUnet2D.
+
+    strict=False skips torch keys that are missing or shape-mismatched —
+    torch ``load_state_dict(strict=False)`` semantics plus the reference
+    load_from's shape-based deletions (swin_unet.py:1652-1659), used by the
+    official-pretrained path (:func:`import_swinunet_pth`)."""
     sd = _to_np(state_dict)
     import jax
     p = jax.tree_util.tree_map(np.asarray, params)
     pre = "swin_unet"
 
+    def put(node, name, tkey, transform=None):
+        if tkey not in sd:
+            assert not strict, f"missing {tkey}"
+            return
+        w = sd[tkey]
+        if transform is not None:
+            w = transform(w)
+        w = np.asarray(w)
+        if node[name].shape != w.shape:
+            assert not strict, (tkey, node[name].shape, w.shape)
+            return
+        node[name] = w
+
     def ln(node, tkey):
-        node["scale"] = sd[f"{tkey}.weight"]
-        node["bias"] = sd[f"{tkey}.bias"]
+        put(node, "scale", f"{tkey}.weight")
+        put(node, "bias", f"{tkey}.bias")
 
     def dense(node, tkey, bias=True):
-        node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        put(node, "kernel", f"{tkey}.weight", transform=linear_to_flax)
         if bias:
-            node["bias"] = sd[f"{tkey}.bias"]
+            put(node, "bias", f"{tkey}.bias")
 
     def block(blk, tkey):
         ln(blk["LayerNorm_0"], f"{tkey}.norm1")
         attn = blk["WindowAttention_0"]
         dense(attn["Dense_0"], f"{tkey}.attn.qkv")
-        attn["relative_position_bias_table"] = \
-            sd[f"{tkey}.attn.relative_position_bias_table"]
+        put(attn, "relative_position_bias_table",
+            f"{tkey}.attn.relative_position_bias_table")
         dense(attn["Dense_1"], f"{tkey}.attn.proj")
         ln(blk["LayerNorm_1"], f"{tkey}.norm2")
         dense(blk["Dense_0"], f"{tkey}.mlp.fc1")
         dense(blk["Dense_1"], f"{tkey}.mlp.fc2")
 
-    p["Conv_0"]["kernel"] = conv_to_flax(sd[f"{pre}.patch_embed.proj.weight"])
-    p["Conv_0"]["bias"] = sd[f"{pre}.patch_embed.proj.bias"]
+    put(p["Conv_0"], "kernel", f"{pre}.patch_embed.proj.weight",
+        transform=conv_to_flax)
+    put(p["Conv_0"], "bias", f"{pre}.patch_embed.proj.bias")
     ln(p["LayerNorm_0"], f"{pre}.patch_embed.norm")
 
     bi = 0
@@ -506,8 +526,27 @@ def import_swinunet(state_dict, params, depths=(2, 2, 6, 2)):
     fp = p["FinalPatchExpandX4_0"]
     dense(fp["Dense_0"], f"{pre}.up.expand", bias=False)
     ln(fp["LayerNorm_0"], f"{pre}.up.norm")
-    p["Conv_1"]["kernel"] = conv_to_flax(sd[f"{pre}.output.weight"])
+    put(p["Conv_1"], "kernel", f"{pre}.output.weight", transform=conv_to_flax)
     return p
+
+
+def import_swinunet_pth(ckpt, params, depths=(2, 2, 6, 2)):
+    """Load an official swin-tiny ImageNet checkpoint ({'model': ...} .pth)
+    into SwinUnet2D, replicating the reference's load_from surgery
+    (swin_unet.py:1619-1669): encoder 'layers.{i}' weights are mirrored into
+    decoder 'layers_up.{3-i}', then everything loads with strict=False
+    (missing decoder-only params keep their fresh init; shape-mismatched
+    mirrors are dropped)."""
+    d = ckpt["model"] if "model" in ckpt else \
+        {k[17:]: v for k, v in ckpt.items() if "output" not in k}
+    d = _to_np(d)
+    full = dict(d)
+    for k, v in d.items():
+        if k.startswith("layers."):
+            nl = 3 - int(k[7])
+            full["layers_up." + str(nl) + k[8:]] = v
+    sd = {f"swin_unet.{k}": v for k, v in full.items()}
+    return import_swinunet(sd, params, depths=depths, strict=False)
 
 
 def import_unet(state_dict, params, block: str = "SingleConv",

@@ -257,3 +257,53 @@ def test_transunet_npz_pretrain_matches_reference_load_from():
     ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
     out = np.asarray(ours.apply(newv, jnp.asarray(x), train=False))
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
+
+
+def test_swinunet_pth_pretrain_matches_reference_load_from(tmp_path):
+    """Official swin-tiny {'model': ...} .pth loading: the reference's
+    load_from mirrors encoder layers into the decoder and loads with
+    strict=False; import_swinunet_pth must produce the same forward."""
+    cf.add_reference_to_path()
+    from model.dim2.swin_unet import SwinUnet as RefSwinUnet
+    from model.dim2.swin_unet import SwinUnet_config
+
+    from cbim_tpu.models.swin_unet import SwinUnet2D
+    from cbim_tpu.utils.torch_import import (import_swinunet,
+                                             import_swinunet_pth)
+
+    torch.manual_seed(15)
+    ref = RefSwinUnet(SwinUnet_config(), img_size=224, num_classes=4).eval()
+
+    # synthetic swin-tiny checkpoint: encoder-shaped keys with random values
+    rng = np.random.RandomState(16)
+    fake = {}
+    buffers = {"relative_position_index", "attn_mask"}
+    for k, v in ref.swin_unet.state_dict().items():
+        if k.startswith(("patch_embed.", "layers.", "norm.")):
+            if k.split(".")[-1] in buffers:
+                fake[k] = v.clone()     # real ckpts carry correct buffers
+            else:
+                fake[k] = torch.from_numpy(
+                    (rng.randn(*v.shape) * 0.05).astype(np.float32))
+    path = str(tmp_path / "swin_tiny_fake.pth")
+    torch.save({"model": fake}, path)
+
+    ours = SwinUnet2D(num_classes=4, img_size=224, embed_dim=96,
+                      depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24))
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 224, 224, 1)), train=False)
+    # align fresh-init params with the torch init first, so the comparison
+    # isolates exactly what load_from writes
+    params = import_swinunet(ref.state_dict(), variables["params"])
+
+    ref.load_from(path)
+    ref.eval()
+    params = import_swinunet_pth({"model": fake}, params)
+
+    x = rng.randn(1, 224, 224, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                train=False))
+    np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
