@@ -46,7 +46,9 @@ def build(batch_size: int):
     from cbim_tpu.training.train_state import create_train_state, make_train_step
 
     crop = int(os.environ.get("BENCH_CROP", 128))
+    remat = os.environ.get("BENCH_REMAT", "all")   # all | highres | none
     cfg = config_from_dict(dict(
+        remat={"all": True, "none": False}.get(remat, remat),
         dataset="synthetic", model="medformer", dimension="3d",
         classes=16, in_chan=1, base_chan=32, conv_block="BasicBlock",
         down_scale=[[2, 2, 2]] * 4, kernel_size=[[3, 3, 3]] * 5,

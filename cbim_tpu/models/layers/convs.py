@@ -72,6 +72,11 @@ class Norm(nn.Module):
         if self.kind == "in":
             # torch InstanceNorm default: affine=False, no running stats,
             # biased variance over spatial dims per sample/channel.
+            from ...ops.pallas import fused_norm
+            if fused_norm.usable("in", None):
+                # bandwidth-optimal Pallas lowering on TPU (2 reads + 1 write;
+                # the XLA lowering materializes/transposes f32 intermediates)
+                return fused_norm.instance_norm_act(x, eps=self.eps, act=None)
             spatial_axes = tuple(range(1, x.ndim - 1))
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=spatial_axes, keepdims=True)
@@ -113,7 +118,16 @@ class ConvNormAct(nn.Module):
                        kernel_init=torch_conv_init, dtype=self.dtype)
         # reference dim3 ConvNormAct passes eps=1e-4 (conv_layers.py:40-42);
         # the dim2 twin relies on the torch default 1e-5
-        norm = Norm(self.norm, eps=1e-4 if nd == 3 else 1e-5, dtype=self.dtype)
+        eps = 1e-4 if nd == 3 else 1e-5
+        from ...ops.pallas import fused_norm
+        if fused_norm.usable(self.norm, self.act):
+            # one fused InstanceNorm+act kernel instead of norm -> act
+            if self.preact:
+                return conv(fused_norm.instance_norm_act(x, eps=eps,
+                                                         act=self.act))
+            return fused_norm.instance_norm_act(conv(x), eps=eps,
+                                                act=self.act)
+        norm = Norm(self.norm, eps=eps, dtype=self.dtype)
         act = get_act(self.act)
         if self.preact:
             return conv(act(norm(x, train)))

@@ -507,22 +507,37 @@ class MedFormer3D(nn.Module):
                       map_size=tuple(self.map_size), proj_type=self.proj_type,
                       norm=self.norm, act=self.act, dtype=self.dtype)
 
-        # remat ('all'): checkpoint every stage — max memory savings;
-        # 'highres': checkpoint only the full/half-resolution conv stages
-        # (cheap to recompute, dominate activation memory) and keep the
-        # low-res transformer stages stored — fewer recompute HBM passes.
+        # Per-stage remat policy — which stages recompute activations in the
+        # backward pass.  'all' is the memory floor; the other modes trade
+        # spare HBM for less recompute (and fewer of the layout-transpose
+        # copies the backward conv pass drags in — see tools/profile_step.py):
+        #   'all'            checkpoint every stage (default; fits 128^3 B=2
+        #                    on one 16GB v5e chip)
+        #   'highres'        checkpoint only full/half-res conv stages; store
+        #                    the low-res transformer stages
+        #   'store-up4'      like 'all' but store the full-res decoder stage
+        #                    (the single most expensive recompute)
+        #   'store-decoder'  checkpoint the encoder only; store up1-up4
         InC_r = nn.remat(InConvMF, static_argnums=(2,))
         Down_r = nn.remat(DownBlockMF, static_argnums=(2,))
         Up_r = nn.remat(UpBlockMF3D, static_argnums=(5,))
-        if self.remat in (True, "all"):
-            InC, Down, Up = InC_r, Down_r, Up_r
-            DownLow, UpLow = Down_r, Up_r
-        elif self.remat == "highres":
-            InC, Down, Up = InC_r, Down_r, Up_r
-            DownLow, UpLow = DownBlockMF, UpBlockMF3D
-        else:
-            InC, Down, Up = InConvMF, DownBlockMF, UpBlockMF3D
-            DownLow, UpLow = DownBlockMF, UpBlockMF3D
+        mode = "all" if self.remat is True else (self.remat or "none")
+        modes = {                   # inc, down1, low_d, up3, up4, low_u
+            "all":           dict(inc=1, down1=1, low_d=1, up3=1, up4=1, low_u=1),
+            "highres":       dict(inc=1, down1=1, low_d=0, up3=1, up4=1, low_u=0),
+            "store-up4":     dict(inc=1, down1=1, low_d=1, up3=1, up4=0, low_u=1),
+            "store-decoder": dict(inc=1, down1=1, low_d=1, up3=0, up4=0, low_u=0),
+            "none":          dict(inc=0, down1=0, low_d=0, up3=0, up4=0, low_u=0),
+        }
+        if mode not in modes:
+            raise ValueError(f"unknown remat mode {self.remat!r}")
+        sel = modes[mode]
+        InC = InC_r if sel["inc"] else InConvMF
+        Down = Down_r if sel["down1"] else DownBlockMF
+        DownLow = Down_r if sel["low_d"] else DownBlockMF
+        Up3 = Up_r if sel["up3"] else UpBlockMF3D
+        Up = Up_r if sel["up4"] else UpBlockMF3D
+        UpLow = Up_r if sel["low_u"] else UpBlockMF3D
 
         x0 = InC(self.base_ch, self.conv_block, ks[0], self.norm,
                  self.act, dtype=self.dtype, name="inc")(x, train)
@@ -562,9 +577,9 @@ class MedFormer3D(nn.Module):
                           kernel_init=torch_conv_init, dtype=self.dtype)(out)
             aux_out = resize_linear(aux, x.shape[1:-1]).astype(jnp.float32)
 
-        out, smap = Up(cn[6], self.conv_num[6], self.trans_num[6],
-                       kernel_size=ks[1], map_shortcut=False, name="up3",
-                       **common)(out, x1, smap, None, train)
+        out, smap = Up3(cn[6], self.conv_num[6], self.trans_num[6],
+                        kernel_size=ks[1], map_shortcut=False, name="up3",
+                        **common)(out, x1, smap, None, train)
         out, smap = Up(cn[7], self.conv_num[7], self.trans_num[7],
                        kernel_size=ks[0], map_shortcut=False, name="up4",
                        **common)(out, x0, smap, None, train)

@@ -132,7 +132,10 @@ def generate(workdir: str):
     for i in range(N_CASES):
         name = f"phantom{i:03d}"
         names.append(name)
-        shape = (8, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
+        # depth 12 keeps eval volumes above one 64^3 dice-split block: the
+        # reference's calculate_dice_split (metric/utils.py:41-46) crashes
+        # (UnboundLocalError on `i`) when num_voxels < block_size
+        shape = (12, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
         for idx, phase in [(0, 0.0), (1, 1.0)]:            # ED / ES frames
             img, lab = _phantom_frame(rng, shape, phase)
             sp = (5.0, 1.5625, 1.5625)
@@ -249,12 +252,18 @@ def _parse_cv(path: str):
     import re
     with open(path) as f:
         text = f.read()
-    # both frameworks write "Dice" arrays per fold; grab all floats per line
+    # both frameworks write a "Dice" section header followed by
+    # "Fold k: [v v v]" lines (then HD / ASD sections in the same shape)
     folds = []
+    section = None
     for line in text.splitlines():
-        m = re.match(r"Fold\s+(\d+)\s*[:#]?\s*Dice[: ]+(.*)", line)
-        if m:
-            vals = [float(v) for v in re.findall(r"[\d.]+", m.group(2))]
+        stripped = line.strip()
+        if stripped in ("Dice", "HD", "ASD"):
+            section = stripped
+            continue
+        m = re.match(r"Fold\s+\d+\s*:\s*\[(.*)\]", stripped)
+        if m and section == "Dice":
+            vals = [float(v) for v in re.findall(r"[\d.]+(?:e-?\d+)?", m.group(1))]
             if vals:
                 folds.append(float(np.mean(vals)))
     return folds, text

@@ -58,28 +58,30 @@ def main():
         trace = json.load(f)
 
     events = trace.get("traceEvents", [])
-    # keep device-thread complete events
+    # keep device-thread complete events (they carry HLO long_name + source)
     by_key = defaultdict(float)
+    by_op = defaultdict(lambda: [0.0, 0, "", ""])   # dur, count, shape, src
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
         args = e.get("args") or {}
-        # device ops carry 'long_name' (HLO) on TPU device tracks
         long = args.get("long_name") or args.get("hlo_op") or ""
         if not long and "tf_op" not in args:
             continue
         dur = float(e.get("dur", 0.0))  # us
         name = e.get("name", "?")
-        src = ""
-        if "long_name" in args:
-            # long_name contains metadata incl. source_file/source_line
-            import re
-            m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', long)
-            if m:
-                src = f"{os.path.basename(m.group(1))}:{m.group(2)}"
+        src = args.get("source", "")
+        if src.startswith("/root/repo/"):
+            src = src[len("/root/repo/"):]
         kind = name.split(".")[0].split("(")[0]
         by_key[(src, kind)] += dur
+        opname = args.get("deduplicated_name", name)
+        rec = by_op[opname]
+        rec[0] += dur
+        rec[1] += 1
+        rec[2] = args.get("shape_with_layout", "")[:60]
+        rec[3] = f'{src} [{args.get("tf_op", "")[:60]}]'
         total += dur
 
     rows = sorted(by_key.items(), key=lambda kv: -kv[1])
@@ -87,7 +89,14 @@ def main():
           f"({total/1e3/steps:.1f} ms/step)")
     print(f"{'us':>12}  {'%':>5}  source / kind")
     for (src, kind), dur in rows[:45]:
-        print(f"{dur:12.0f}  {100*dur/total:5.1f}  {src:<40} {kind}")
+        print(f"{dur:12.0f}  {100*dur/total:5.1f}  {src:<44} {kind}")
+
+    print("\ntop individual ops:")
+    print(f"{'us':>12}  {'%':>5}  {'n':>4}  op / shape / source")
+    for opname, (dur, cnt, shape, src) in sorted(
+            by_op.items(), key=lambda kv: -kv[1][0])[:40]:
+        print(f"{dur:12.0f}  {100*dur/total:5.1f}  {cnt:>4}  {opname:<28} "
+              f"{shape:<48} {src}")
 
 
 if __name__ == "__main__":
