@@ -1,0 +1,183 @@
+"""Tap-packed Pallas conv3d for small channel counts (the full-res regime).
+
+Why: XLA lowers a stride-1 3^3 conv as per-tap matmuls whose MXU tiles are
+(C_in x C_out) — at the reference's full-resolution channel width (32) that
+fills 32 of 128 MXU lanes and measures ~16 TFLOP/s on v5e, ~8% of peak
+(tools/probe_norm_layout.py).  The same arithmetic reorganized so the
+contraction packs the d-axis taps with channels, K = (kd, c) = 96, and the
+output packs the remaining taps with output channels, N = (kh, kw, f) = 288,
+runs near-dense MXU tiles with EXACTLY the original FLOPs:
+
+    partial[(d, h~, w~), (kh, kw, f)] = sum_{kd, c} xp[d+kd, h~, w~, c]
+                                                  * W[kd, kh, kw, c, f]
+    y[d, h, w, f] = sum_{kh, kw} partial[(d, h+kh, w+kw), (kh, kw, f)]
+
+One [M, 96] @ [96, 288] matmul per tile plus a 9-term shifted reduce in VMEM
+(h shifts ride the sublane-outer dims, w shifts the sublanes, tap blocks the
+lanes).
+
+Layout notes:
+- input is pre-padded (caller) to xp[B, D+2, H+2, Wp, C] with Wp = W+2
+  rounded up to a multiple of 8, so every (d, h) slab reshape that feeds the
+  matmul collapses without a relayout;
+- the halo'd input tile (overlapping blocks) is DMA'd manually from HBM —
+  BlockSpec blocks cannot overlap.
+
+Exact-math parity with lax.conv_general_dilated (NDHWC, SAME, stride 1) up
+to f32 accumulation order; verified by tests/test_pallas_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# output tile extents (d, h); w is processed full-width
+_D_BLK = 2
+_H_BLK = 8
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _pack_weights(w: jax.Array) -> jax.Array:
+    """w[3, 3, 3, C, F] -> W'[(kd, c) = 3C, (kh, kw, f) = 9F]."""
+    k3, k3b, k3c, C, F = w.shape
+    assert (k3, k3b, k3c) == (3, 3, 3), w.shape
+    # (kd, kh, kw, c, f) -> (kd, c, kh, kw, f)
+    wp = jnp.transpose(w, (0, 3, 1, 2, 4))
+    return wp.reshape(3 * C, 9 * F)
+
+
+def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
+                 D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
+                 d_blk: int, h_blk: int, slice_k: bool):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    # double-buffered halo'd input tiles: xt_ref[slot] is
+    # [1, d_blk+2, h_blk+2, Wp, Cp]  (Cp = C padded to the 128-lane tile so
+    # the manual HBM DMA is alignment-legal; the HBM buffer is physically
+    # 128-lane padded either way).  The overlap (halo) is why this is a
+    # manual DMA instead of a BlockSpec.
+    def tile_dma(slot, b_, di_, hi_):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                      pl.ds(hi_ * h_blk, h_blk + 2)],
+            xt_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        tile_dma(0, b, di, hi).start()
+
+    # prefetch the next tile while this one computes
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+
+    @pl.when(nxt < n_total)
+    def _():
+        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                 jax.lax.rem(nr, n_h)).start()
+
+    tile_dma(slot, b, di, hi).wait()
+
+    M = d_blk * (h_blk + 2) * Wp
+    # X3: three d-shifted views stacked on the channel axis.
+    # slice_k=True: lane-slice each view to the real C -> K = 3C (exact
+    # FLOPs, pays a VMEM relayout).  False: keep padded lanes -> K = 3*Cp
+    # (zero rows in the packed weights; more MXU work, no relayout).
+    views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
+             for kd in range(3)]
+    if slice_k:
+        views = [v[:, :C] for v in views]
+    x3 = jnp.concatenate(views, axis=1)
+
+    partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
+    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
+
+    import os
+    if os.environ.get("CBIM_PLCONV_NORED") == "1":
+        # diagnostic: skip the 9-term shifted reduce (wrong result) to
+        # isolate DMA+matmul cost from the reduce cost
+        y_ref[0] = partial[:, 1:1 + h_blk, 1:1 + W, :F].astype(y_ref.dtype)
+        return
+
+    acc = jnp.zeros((d_blk, h_blk, W, F), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            j = kh * 3 + kw
+            acc = acc + partial[:, kh:kh + h_blk, kw:kw + W,
+                                j * F:(j + 1) * F]
+    y_ref[0] = acc.astype(y_ref.dtype)
+
+
+def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
+                        d_blk: int = _D_BLK, h_blk: int = _H_BLK,
+                        slice_k: bool = True):
+    B, D, H, W, C = x.shape
+    F = w.shape[-1]
+    assert w.shape == (3, 3, 3, C, F), w.shape
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    Wp = _round_up(W + 2, 8)
+    Cp = C if interpret else _round_up(C, 128)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
+    wp = _pack_weights(w).astype(x.dtype)
+    if not slice_k and Cp != C:
+        # zero rows for the padded channels: K = 3*Cp
+        wp = wp.reshape(3, C, 9 * F)
+        wp = jnp.pad(wp, ((0, 0), (0, Cp - C), (0, 0))).reshape(3 * Cp, 9 * F)
+    k_dim = 3 * C if slice_k else 3 * Cp
+
+    kernel = functools.partial(
+        _conv_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec((k_dim, 9 * F), lambda b, d, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_blk, h_blk, W, F),
+                               lambda b, d, h: (b, d, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W, F), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, Wp, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, wp)
+    return y
+
+
+def conv3d_same(x: jax.Array, w: jax.Array,
+                interpret: bool | None = None) -> jax.Array:
+    """Stride-1 SAME 3^3 conv, NDHWC: x[B,D,H,W,C], w[3,3,3,C,F] -> y[...,F].
+
+    Exact lax.conv parity (f32 accumulation).  Forward only for now; wrap in
+    jax.vjp-aware call sites via conv3d.py's custom_vjp once the backward
+    kernels land.
+    """
+    import os
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
+    return _conv3d_same_pallas(x, w, interpret, slice_k=slice_k)

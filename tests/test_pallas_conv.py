@@ -1,0 +1,67 @@
+"""Tap-packed Pallas conv3d vs lax.conv_general_dilated (interpret mode).
+
+The kernel (cbim_tpu/ops/pallas/conv3d.py) reorganizes a stride-1 SAME 3^3
+NDHWC conv into one [M, 3C] @ [3C, 9F] matmul per tile plus a 9-term shifted
+reduce; these tests pin exact-math parity against XLA's conv on shapes that
+exercise tile boundaries, C != F, and batch > 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbim_tpu.ops.pallas.conv3d import conv3d_same
+
+
+def _xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+CASES = [
+    ((1, 4, 8, 16, 8), 8),      # minimal tile multiple
+    ((2, 4, 8, 16, 8), 8),      # batch > 1 (exercises grid linearization)
+    ((1, 6, 16, 24, 4), 12),    # C != F, non-square spatial
+    ((1, 2, 8, 8, 16), 16),     # single-depth-tile volume
+]
+
+
+@pytest.mark.parametrize("shape,F", CASES)
+def test_matches_lax_conv(shape, F):
+    rng = np.random.default_rng(0)
+    C = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    y = conv3d_same(x, w, interpret=True)
+    y_ref = _xla_conv(x, w)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_zero_padding_semantics():
+    # SAME zero padding: a delta at the corner must convolve with the
+    # corner-clipped kernel only
+    C = 8
+    x = jnp.zeros((1, 4, 8, 16, C), jnp.float32).at[0, 0, 0, 0, 0].set(1.0)
+    w = jnp.asarray(np.random.default_rng(1).normal(
+        size=(3, 3, 3, C, C)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(conv3d_same(x, w, interpret=True)),
+                               np.asarray(_xla_conv(x, w)),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_bf16_io():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 8)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 8)).astype(np.float32) * 0.2
+                    ).astype(jnp.bfloat16)
+    y = conv3d_same(x, w, interpret=True)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y.astype(jnp.float32)),
+        np.asarray(_xla_conv(x, w).astype(jnp.float32)),
+        atol=0.05, rtol=0.05)
