@@ -88,6 +88,47 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm {self.kind!r}")
 
 
+class _PallasConv3x3(nn.Module):
+    """Drop-in for nn.Conv(3^3, stride 1, SAME) computed by the tap-packed
+    Pallas kernel (ops/pallas/conv3d.py).  Same parameter tree as nn.Conv
+    (scope name set by the caller, params 'kernel'/'bias') so checkpoints
+    and torch transplants work unchanged."""
+    out_ch: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.pallas.conv3d import conv3d_same
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, 3, x.shape[-1], self.out_ch), jnp.float32)
+        y = conv3d_same(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
+    """Forward-only Pallas conv (no custom VJP yet): eval paths only, 3D,
+    3^3/stride-1/SAME, channel widths within the kernel's VMEM budget, tile
+    divisibility, TPU backend, opt-in via CBIM_PLCONV=1."""
+    import os
+    from ...ops.pallas.conv3d import _D_BLK, _H_BLK
+    if train or os.environ.get("CBIM_PLCONV") != "1":
+        return False
+    if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
+            or p != (1, 1, 1) or groups != 1:
+        return False
+    if x.shape[-1] > 128 or out_ch > 64:
+        return False
+    B, D, H, W, _ = x.shape
+    if D % _D_BLK or H % _H_BLK or W % 8:
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 class ConvNormAct(nn.Module):
     """conv + norm + act, pre- or post-activated (conv_layers.py:16-53)."""
     out_ch: int
@@ -112,10 +153,19 @@ class ConvNormAct(nn.Module):
             p = tuple(ki // 2 for ki in k)
         else:
             p = _tuple(self.padding, nd)
-        conv = nn.Conv(self.out_ch, kernel_size=k, strides=s,
-                       padding=[(pi, pi) for pi in p], kernel_dilation=d,
-                       feature_group_count=self.groups, use_bias=self.use_bias,
-                       kernel_init=torch_conv_init, dtype=self.dtype)
+        if _pallas_conv_usable(x, nd, k, s, d, p, self.groups, self.out_ch,
+                               train):
+            # eval-only tap-packed Pallas conv; name matches nn.Conv's auto
+            # scope so the variables dict is interchangeable with the train
+            # path (docs/benchmarks.md for measured wins)
+            conv = _PallasConv3x3(self.out_ch, use_bias=self.use_bias,
+                                  dtype=self.dtype, name="Conv_0")
+        else:
+            conv = nn.Conv(self.out_ch, kernel_size=k, strides=s,
+                           padding=[(pi, pi) for pi in p], kernel_dilation=d,
+                           feature_group_count=self.groups,
+                           use_bias=self.use_bias,
+                           kernel_init=torch_conv_init, dtype=self.dtype)
         # reference dim3 ConvNormAct passes eps=1e-4 (conv_layers.py:40-42);
         # the dim2 twin relies on the torch default 1e-5
         eps = 1e-4 if nd == 3 else 1e-5
