@@ -106,9 +106,21 @@ def get_model(cfg):
                              feature_size=cfg.base_chan, dtype=dt)
         if name == "nnformer":
             from .nnformer import NNFormer
+            # Reference wiring (model/utils.py:118-120) exposes only crop size;
+            # the remaining knobs default to the paper values and are optional
+            # config overrides here (used by the small synthetic recipe).
+            kw = {}
+            for key in ("embedding_dim", "patch_size", "drop_path_rate"):
+                if cfg.get(key) is not None:
+                    v = cfg.get(key)
+                    kw[key] = tuple(v) if isinstance(v, list) else v
+            if cfg.get("nnformer_num_heads") is not None:
+                kw["num_heads"] = tuple(cfg.get("nnformer_num_heads"))
+            if cfg.get("nnformer_window_size") is not None:
+                kw["window_size"] = tuple(cfg.get("nnformer_window_size"))
             return NNFormer(num_classes=cfg.classes,
                             crop_size=tuple(cfg.window_size),
-                            deep_supervision=cfg.aux_loss, dtype=dt)
+                            deep_supervision=cfg.aux_loss, dtype=dt, **kw)
         if name == "vtunet":
             from .vtunet import VTUNet
             return VTUNet(num_classes=cfg.classes,

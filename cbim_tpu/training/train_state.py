@@ -69,17 +69,24 @@ def make_train_step(model, tx, cfg):
     rlt = float(cfg.rlt)
     ema_alpha = float(cfg.ema_alpha)
     use_ema = bool(cfg.ema)
+    # Stochastic-regularization RNG (dropout / stochastic depth): the
+    # reference trains nnFormer with drop_path 0.2 and TransUNet with
+    # dropout 0.1 active (reference train.py:188-216); flax modules pull
+    # from the "dropout" stream, so every train-mode apply gets a key
+    # derived deterministically from the step counter.
+    base_key = jax.random.PRNGKey(int(cfg.get("split_seed", 0) or 0))
 
-    def loss_fn(params, batch_stats, img, lab):
+    def loss_fn(params, batch_stats, img, lab, step):
         variables = {"params": params}
+        rngs = {"dropout": jax.random.fold_in(base_key, step)}
         if batch_stats:
             variables["batch_stats"] = batch_stats
             out, updated = model.apply(variables, img, train=True,
-                                       mutable=["batch_stats"])
+                                       mutable=["batch_stats"], rngs=rngs)
             new_stats = updated["batch_stats"]
         else:
             # NOTE: mutable=[] would make flax return (out, {}) — do not pass it
-            out = model.apply(variables, img, train=True)
+            out = model.apply(variables, img, train=True, rngs=rngs)
             new_stats = batch_stats
         outs = out if isinstance(out, (list, tuple)) else [out]
         if aux_weight is not None:
@@ -90,7 +97,7 @@ def make_train_step(model, tx, cfg):
 
     def train_step(state: TrainState, img, lab, lr):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, img, lab)
+            state.params, state.batch_stats, img, lab, state.step)
 
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
