@@ -27,7 +27,7 @@ tests/test_pipeline.py for the distribution checks.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, replace, field
 from functools import partial
 from typing import Sequence
 
@@ -57,6 +57,9 @@ class AugRecipe:
     shear: Sequence = (0.05, 0.05, 0.05)
     pre_ops: tuple = ()
     post_ops: tuple = ()
+    # class-count hint for the tiled TPU affine lowering (labels ride in the
+    # image dtype there; the hint enforces exact representability)
+    num_classes: int | None = None
 
 
 def _apply_op(name: str, params: dict, img, lab, key):
@@ -172,7 +175,8 @@ def build_batch_aug(recipe: AugRecipe, crop_size, ndim: int):
     def fn(imgs, labs, keys):
         imgs, labs, thetas, k_post = jax.vmap(pre)(imgs, labs, keys)
         imgs, labs = affine_sample_3d_batch(imgs, labs, thetas,
-                                            out_shape=crop_size)
+                                            out_shape=crop_size,
+                                            num_classes=recipe.num_classes)
         if recipe.post_ops:
             imgs, labs = jax.vmap(post)(imgs, labs, k_post)
         return imgs, labs
@@ -201,6 +205,8 @@ class TrainPipeline:
         self.ndim = 3 if cfg.dimension == "3d" else 2
         self.crop_size = tuple(cfg.training_size[:self.ndim])
         recipe = dataset.recipe()
+        if recipe.num_classes is None:
+            recipe = replace(recipe, num_classes=int(cfg.classes))
         self.recipe = recipe
         self.buffer_shape = tuple(
             t + p for t, p in zip(self.crop_size, recipe.affine_pad))

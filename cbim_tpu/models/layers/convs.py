@@ -126,7 +126,8 @@ def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     B, D, H, W, _ = x.shape
     if D % _D_BLK or H % _H_BLK or W % 8:
         return False
-    return jax.default_backend() in ("tpu", "axon")
+    from ...ops._backend import is_tpu_backend
+    return is_tpu_backend()
 
 
 class ConvNormAct(nn.Module):

@@ -61,6 +61,12 @@ def weighted_cross_entropy(logits: jax.Array, target: jax.Array,
 
     torch.nn.CrossEntropyLoss(weight=w): mean(w[t_i] * ce_i) / mean(w[t_i])
     i.e. sum(w[t_i] * ce_i) / sum(w[t_i]).
+
+    Labels MUST be in [0, num_classes): the one-hot contraction maps
+    out-of-range ids to an all-zero row (0 loss, 0 weight — silently dropped
+    from the weighted mean), unlike torch's gather which would error.  No
+    shipped dataset carries ignore/sentinel labels; if one ever does, mask it
+    explicitly before the loss.
     """
     num_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -41,6 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 _D_BLK = 2
 _H_BLK = 8
 
+# Diagnostic flag, read ONCE at import (jit caches do not key on env vars, so
+# reading it inside the kernel trace would freeze whatever value the first
+# trace saw).  When set, the kernel SKIPS the 9-term reduce and returns
+# mathematically wrong outputs — for probe tooling only.
+import os as _os  # noqa: E402
+_NORED = _os.environ.get("CBIM_PLCONV_NORED") == "1"
+if _NORED:
+    import warnings
+    warnings.warn(
+        "CBIM_PLCONV_NORED=1: pallas conv3d outputs are intentionally WRONG "
+        "(reduce skipped); diagnostic use only", stacklevel=2)
+
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
@@ -109,10 +121,10 @@ def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
     partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
     partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
 
-    import os
-    if os.environ.get("CBIM_PLCONV_NORED") == "1":
-        # diagnostic: skip the 9-term shifted reduce (wrong result) to
-        # isolate DMA+matmul cost from the reduce cost
+    if _NORED:
+        # diagnostic-only (CBIM_PLCONV_NORED=1 at import): skips the 9-term
+        # shifted reduce and produces WRONG conv outputs; a loud warning is
+        # emitted at import time (see _NORED below)
         y_ref[0] = partial[:, 1:1 + h_blk, 1:1 + W, :F].astype(y_ref.dtype)
         return
 
@@ -127,14 +139,21 @@ def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
 
 def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
                         d_blk: int = _D_BLK, h_blk: int = _H_BLK,
-                        slice_k: bool = True):
+                        slice_k: bool = True, pad_c: bool | None = None):
     B, D, H, W, C = x.shape
     F = w.shape[-1]
     assert w.shape == (3, 3, 3, C, F), w.shape
     assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
 
     Wp = _round_up(W + 2, 8)
-    Cp = C if interpret else _round_up(C, 128)
+    # On a real TPU the manually-DMA'd HBM operand needs a 128-aligned minor
+    # dim, so C is padded to the lane tile.  Interpret mode has no such
+    # constraint and defaults to Cp=C, but tests force pad_c=True so the
+    # padded-lane arithmetic (slice_k lane slicing, zero-row weight padding)
+    # is covered without hardware.
+    if pad_c is None:
+        pad_c = not interpret
+    Cp = _round_up(C, 128) if pad_c else C
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
     wp = _pack_weights(w).astype(x.dtype)
     if not slice_k and Cp != C:
@@ -178,6 +197,7 @@ def conv3d_same(x: jax.Array, w: jax.Array,
     """
     import os
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
     slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
     return _conv3d_same_pallas(x, w, interpret, slice_k=slice_k)

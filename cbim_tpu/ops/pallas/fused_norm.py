@@ -104,7 +104,8 @@ def usable(norm_kind, act) -> bool:
         return False
     if os.environ.get("CBIM_FUSED_NORM", "0") != "1":
         return False
-    return jax.default_backend() in ("tpu", "axon")
+    from .._backend import is_tpu_backend
+    return is_tpu_backend()
 
 
 def _mask(s_idx, block: int, S: int, shape) -> jax.Array:
@@ -291,7 +292,8 @@ def instance_norm_act(x: jax.Array, eps: float = 1e-4,
         raise ValueError(f"unsupported act {act!r}")
     if interpret is None:
         # interpret everywhere except a real TPU backend (axon = tunneled TPU)
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
     B, C = x.shape[0], x.shape[-1]
     spatial = x.shape[1:-1]
     S = 1

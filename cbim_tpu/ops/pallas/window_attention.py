@@ -42,7 +42,8 @@ def pallas_available() -> bool:
     if not _PALLAS:
         return False
     try:
-        return jax.default_backend() == "tpu"
+        from .._backend import is_tpu_backend
+        return is_tpu_backend()
     except Exception:
         return False
 

@@ -114,7 +114,8 @@ def _trilinear_gather(src: jax.Array, fz, fy, fx) -> jax.Array:
       v5e; lax.gather with explicit slice_sizes is 50x SLOWER there, do not
       "simplify" to it).
     """
-    if jax.default_backend() == "tpu":
+    from ._backend import is_tpu_backend
+    if is_tpu_backend():
         return _trilinear_gather_rows(src, fz, fy, fx)
     D, H, W = src.shape[0], src.shape[1], src.shape[2]
     C = src.shape[3]
@@ -205,8 +206,17 @@ def _affine_coords_3d(theta, D, H, W, out_shape, out_offset):
 _TILE = 8   # x-tile width of the tiled lowering (row = 4*2*_TILE*(C+1) lanes)
 
 
+def _exact_int_bound(dtype) -> int:
+    """Largest n such that all ints in [0, n] are exact in ``dtype``."""
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return int(jnp.iinfo(dtype).max)
+    return 2 ** jnp.finfo(dtype).nmant
+
+
 def affine_sample_3d_batch(img, lab, theta, label_nearest: bool = True,
-                           out_shape=None, out_offset=None):
+                           out_shape=None, out_offset=None,
+                           num_classes: int | None = None):
     """Batched :func:`affine_sample_3d`: img (B,D,H,W,C), lab (B,D,H,W),
     theta (B,3,4) -> (img_out (B,*out,C), lab_out (B,*out)).
 
@@ -214,9 +224,30 @@ def affine_sample_3d_batch(img, lab, theta, label_nearest: bool = True,
     lowering (:func:`_affine_sample_3d_tiled`), which computes the identical
     interpolation ~4x faster than per-sample gathers; elsewhere it vmaps the
     per-sample path.
+
+    The tiled lowering rides the label plane in the image dtype, which is
+    exact only while every class id is representable (<=256 for bf16).
+    Callers with a narrow image dtype must pass ``num_classes`` so the
+    precondition is enforced at trace time; with no hint and a narrow dtype
+    the safe vmapped path is used instead.
     """
-    if jax.default_backend() == "tpu" and label_nearest:
-        return _affine_sample_3d_tiled(img, lab, theta, out_shape, out_offset)
+    from ._backend import is_tpu_backend
+    if is_tpu_backend() and label_nearest:
+        bound = _exact_int_bound(img.dtype)
+        if num_classes is not None:
+            if num_classes - 1 > bound:
+                raise ValueError(
+                    f"label ids up to {num_classes - 1} are not exactly "
+                    f"representable in image dtype {img.dtype}; use a wider "
+                    "image dtype for the augmentation pipeline")
+            ok = True
+        else:
+            # no hint: only trust genuinely wide dtypes (f32 mantissa covers
+            # any realistic class count)
+            ok = bound >= 2 ** 23
+        if ok:
+            return _affine_sample_3d_tiled(img, lab, theta, out_shape,
+                                           out_offset)
     from functools import partial
     f = partial(affine_sample_3d, label_nearest=label_nearest,
                 out_shape=out_shape, out_offset=out_offset)

@@ -1,8 +1,8 @@
 """Checkpointing: {epoch, params, ema_params, opt_state} with latest/best
 policy (reference train.py:104-128, utils.py:41-55).
 
-Serialized with flax msgpack (dependency-light, pytree-exact); orbax is used
-instead when available for async multi-host writes.  File layout matches the
+Serialized with flax msgpack (dependency-light, pytree-exact; written by
+process 0 only under multi-host).  File layout matches the
 reference's naming: ``fold_<k>_latest.ckpt`` / ``fold_<k>_best.ckpt``.
 """
 

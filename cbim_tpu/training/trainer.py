@@ -120,6 +120,9 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
     best_dice = np.zeros(cfg.classes)
     best_hd = np.ones(cfg.classes) * 1000
     best_asd = np.ones(cfg.classes) * 1000
+    # scalar-mean comparison exactly as the reference (train.py:87,117):
+    # initial best is mean(zeros)=0, and >= makes the first eval always win
+    best_mean = 0.0
 
     global_step = int(state.step)
     for epoch in range(start_epoch, cfg.epochs):
@@ -176,8 +179,8 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                                      mesh=mesh)
             dice, asd, hd = filter_validation_results(dice, asd, hd, cfg)
             log_evaluation_result(writer, dice, asd, hd, "test", epoch)
-            if np.nanmean(dice) >= np.nanmean(best_dice[:len(dice)]) or \
-                    not np.any(best_dice):
+            if np.nanmean(dice) >= best_mean:
+                best_mean = float(np.nanmean(dice))
                 best_dice = dice
                 best_hd = hd
                 best_asd = asd
@@ -186,7 +189,7 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                                 state, epoch + 1)
             logging.info("Evaluation Done")
             logging.info("Dice: %.4f / Best Dice: %.4f",
-                         np.nanmean(dice), np.nanmean(best_dice[:len(dice)]))
+                         np.nanmean(dice), best_mean)
 
     writer.close()
     return best_dice, best_hd, best_asd

@@ -47,7 +47,8 @@ def get_parser():
     parser.add_argument("--normalize", type=str, default=None,
                         help="normalization preset (defaults to --dataset)")
     parser.add_argument("--config_root", type=str, default=None)
-    parser.add_argument("--window_batch", type=int, default=4)
+    parser.add_argument("--window_batch", type=int, default=1,
+                    help="windows per forward; 1 is the measured optimum on v5e")
     parser.add_argument("--platform", type=str, default=None)
     return parser.parse_args()
 

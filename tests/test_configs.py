@@ -12,7 +12,10 @@ from cbim_tpu.config import load_config
 
 CONFIG_ROOT = os.path.join(cf.REPO_ROOT, "configs")
 SKIP_KEYS = {"world_size", "proc_idx", "rank", "port", "dist_url",
-             "dist_backend", "multiprocessing_distributed", "data_root"}
+             "dist_backend", "multiprocessing_distributed", "data_root",
+             # the reference hardcodes dead internal filesystem paths here;
+             # we ship the key nulled (user points it at a local weight copy)
+             "init_model"}
 
 
 def _all_configs():

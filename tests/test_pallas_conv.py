@@ -65,3 +65,19 @@ def test_bf16_io():
         np.asarray(y.astype(jnp.float32)),
         np.asarray(_xla_conv(x, w).astype(jnp.float32)),
         atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("slice_k", [True, False])
+def test_padded_lane_arithmetic_in_interpret(slice_k):
+    """Force Cp=round_up(C,128) in interpret mode: covers the real-TPU-only
+    padded-lane paths (slice_k lane slicing of padded views, zero-row weight
+    padding) that default interpret runs skip (ADVICE r1)."""
+    from cbim_tpu.ops.pallas.conv3d import _conv3d_same_pallas
+
+    rng = np.random.default_rng(5)
+    C, F = 8, 8
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    y = _conv3d_same_pallas(x, w, interpret=True, slice_k=slice_k, pad_c=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
+                               atol=2e-5, rtol=2e-5)

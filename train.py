@@ -27,7 +27,13 @@ def get_parser():
     parser.add_argument("--dataset", type=str, default="acdc", help="dataset name")
     parser.add_argument("--model", type=str, default="unet", help="model name")
     parser.add_argument("--dimension", type=str, default="2d", help="2d model or 3d model")
-    parser.add_argument("--pretrain", action="store_true")
+    parser.add_argument("--pretrain", action="store_true",
+                        help="initialize from a pretrained checkpoint "
+                             "(requires --init_model or config init_model)")
+    parser.add_argument("--init_model", type=str, default=None,
+                        help="pretrained checkpoint: a reference .pth, or the "
+                             "official R50+ViT-B_16 .npz / swin-tiny .pth "
+                             "backbones (torch->flax transplant)")
     parser.add_argument("--amp", action="store_true",
                         help="bf16 compute (TPU mixed precision; no GradScaler needed)")
     parser.add_argument("--batch_size", default=32, type=int, help="batch size")
@@ -68,13 +74,11 @@ def main():
                       config_root=args.config_root, **overrides)
     if args.epochs is not None:
         cfg.epochs = args.epochs
-    if cfg.pretrain:
-        # the reference loads torch/npz checkpoints for transunet/swinunet/
-        # vtunet/swin_unetr from hardcoded internal paths (model/utils.py);
-        # torch->flax weight import is demonstrated in
-        # tests/test_forward_parity.py but not yet wired as initialization.
-        logging.warning("--pretrain: external pretrained initialization is "
-                        "not yet supported; training from scratch")
+    if args.init_model is not None:
+        cfg.init_model = args.init_model
+    if cfg.pretrain and not cfg.get("init_model"):
+        logging.warning("--pretrain set but no --init_model/config init_model "
+                        "checkpoint given; training from scratch")
 
     if cfg.reproduce_seed is not None:
         random.seed(cfg.reproduce_seed)
