@@ -197,6 +197,82 @@ class InferenceEngine:
         probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
         return self._crop_pads(probs, pads, spatial)
 
+    # -- sliding window, 2D slice-batch form ----------------------------------
+    def sliding_window_slices(self, img: jax.Array) -> jax.Array:
+        """2D sliding window over a slice batch: img (B, H, W, C_in) ->
+        probs (B, H, W, classes).
+
+        Mirrors reference inference/inference2d.py:27-71: ALL slices of the
+        volume ride as the batch through the net at each window position (the
+        window grid/`split_idx` clamping and uniform counter fusion are
+        identical to the 3D engine).  The reference's 2D path has no
+        pad-up-to-window branch; inputs smaller than the window are
+        nevertheless handled here by the shared zero-pad + crop-back
+        (a strict superset — the reference would fail on such inputs).
+        """
+        window = self.window_size
+        assert len(window) == 2, "sliding_window_slices needs a 2D window"
+        B = img.shape[0]
+        spatial = tuple(img.shape[1:3])
+
+        pads = [(0, max(0, w - s)) for s, w in zip(spatial, window)]
+        if any(p[1] > 0 for p in pads):
+            img_p = jnp.pad(img, [(0, 0)] + pads + [(0, 0)])
+        else:
+            img_p = img
+        padded_spatial = tuple(img_p.shape[1:3])
+        starts = _grid_starts(padded_spatial, window)
+        n = starts.shape[0]
+
+        key = ("sw2d", B, padded_spatial, img.shape[-1])
+        if key not in self._sw_cache:
+            C = self.num_classes
+            apply_fn = self.apply_fn
+            importance = jnp.asarray(self._importance(window))   # (wh, ww, 1)
+            valid = np.ones(n, np.float32)
+            cnt = jnp.asarray(
+                self._count_map(padded_spatial, starts[:, None, :],
+                                valid[:, None]))                 # (1, H, W, 1)
+
+            def run(img, starts):
+                acc = jnp.zeros((B, *padded_spatial, C), jnp.float32)
+
+                def body(acc, s):
+                    idx = (0, s[0], s[1], 0)
+                    win = jax.lax.dynamic_slice(
+                        img, idx, (B, *window, img.shape[-1]))
+                    logits = apply_fn(win)
+                    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                    cur = jax.lax.dynamic_slice(acc, idx, (B, *window, C))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + probs * importance[None], idx)
+                    return acc, None
+
+                acc, _ = jax.lax.scan(body, acc, starts)
+                return acc / cnt
+
+            self._sw_cache[key] = jax.jit(run)
+        probs = self._sw_cache[key](img_p, jnp.asarray(starts))
+        return self._crop_pads(probs, pads, spatial)
+
+    def sliding_window_slices_sharded(self, img: jax.Array, mesh,
+                                      axis: str = "data") -> jax.Array:
+        """Slice-batch 2D sliding window with the slice dim sharded over the
+        mesh (purely data-parallel; the window sweep inside is the same
+        program).  Slice count is padded to a device multiple and the padding
+        dropped after."""
+        ndev = mesh.shape[axis]
+        B = img.shape[0]
+        pad = (-B) % ndev
+        if pad:
+            img = jnp.concatenate(
+                [img, jnp.zeros((pad, *img.shape[1:]), img.dtype)], axis=0)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(axis))
+        img = jax.device_put(img, sharding)
+        probs = self.sliding_window_slices(img)
+        return probs[:B] if pad else probs
+
     def sliding_window_sharded(self, img: jax.Array, mesh, axis: str = "data"
                                ) -> jax.Array:
         """Multi-chip sliding window: window groups are sharded across the

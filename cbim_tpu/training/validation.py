@@ -75,7 +75,12 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True,
         if cfg.dimension == "2d":
             # slices become the batch dim (validation.py:39-40)
             inputs = np.asarray(img, np.float32)[..., None]       # (D, H, W, 1)
-            if shard_windows:
+            if cfg.sliding_window and shard_windows:
+                probs = engine.sliding_window_slices_sharded(inputs, mesh)
+            elif cfg.sliding_window:
+                # 2D window sweep (reference inference2d.py:27-71)
+                probs = engine.sliding_window_slices(inputs)
+            elif shard_windows:
                 probs = engine.whole_image_sharded(inputs, mesh)  # (D, H, W, C)
             else:
                 probs = engine.whole_image(inputs)

@@ -185,8 +185,12 @@ def main():
 
         # ensemble softmax sum (prediction.py:35-62)
         if cfg.dimension == "2d":
+            # slice-batch sliding window (reference forces sliding_window at
+            # training size for prediction, prediction.py:269-270; 2D sweep
+            # semantics per inference2d.py:27-71)
             inputs = jnp.asarray(data, jnp.float32)[..., None]
-            prob_sum = sum(np.asarray(e.whole_image(inputs)) for e in engines)
+            prob_sum = sum(np.asarray(e.sliding_window_slices(inputs))
+                           for e in engines)
         else:
             inputs = jnp.asarray(data, jnp.float32)[None, ..., None]
             prob_sum = sum(np.asarray(e.sliding_window(inputs))[0]
