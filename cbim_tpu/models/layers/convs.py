@@ -99,10 +99,10 @@ class _PallasConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ...ops.pallas.conv3d import conv3d_same
+        from ...ops.pallas.conv3d import conv3d_same_t
         kernel = self.param("kernel", torch_conv_init,
                             (3, 3, 3, x.shape[-1], self.out_ch), jnp.float32)
-        y = conv3d_same(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = conv3d_same_t(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
                               jnp.float32)
@@ -111,12 +111,15 @@ class _PallasConv3x3(nn.Module):
 
 
 def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
-    """Forward-only Pallas conv (no custom VJP yet): eval paths only, 3D,
-    3^3/stride-1/SAME, channel widths within the kernel's VMEM budget, tile
-    divisibility, TPU backend, opt-in via CBIM_PLCONV=1."""
+    """Pallas conv dispatch: 3D, 3^3/stride-1/SAME, channel widths within the
+    kernel's VMEM budget, tile divisibility, TPU backend.  Opt-in:
+    CBIM_PLCONV=1 enables the eval path, CBIM_PLCONV_TRAIN=1 additionally the
+    training path (Pallas forward + dgrad, XLA wgrad — conv3d_same_t)."""
     import os
     from ...ops.pallas.conv3d import _D_BLK, _H_BLK
-    if train or os.environ.get("CBIM_PLCONV") != "1":
+    if os.environ.get("CBIM_PLCONV") != "1":
+        return False
+    if train and os.environ.get("CBIM_PLCONV_TRAIN") != "1":
         return False
     if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
             or p != (1, 1, 1) or groups != 1:

@@ -201,3 +201,50 @@ def conv3d_same(x: jax.Array, w: jax.Array,
         interpret = not is_tpu_backend()
     slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
     return _conv3d_same_pallas(x, w, interpret, slice_k=slice_k)
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: custom VJP
+# ---------------------------------------------------------------------------
+
+def _flip_swap(w: jax.Array) -> jax.Array:
+    """dgrad weights: spatial flip + in/out channel swap.
+
+    For a stride-1 SAME correlation y = x * w, the input gradient is the
+    stride-1 SAME correlation of the upstream gradient with the spatially
+    flipped kernel whose c/f axes are swapped — so the SAME forward kernel
+    computes dgrad too.
+    """
+    return jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+
+
+def _xla_conv_ndhwc(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@jax.custom_vjp
+def conv3d_same_t(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Trainable stride-1 SAME 3^3 conv: Pallas forward AND input-gradient
+    (the dgrad is the same tap-packed kernel run on the upstream gradient
+    with flip-swapped weights); the weight gradient uses XLA's standard
+    wgrad lowering (one voxel-contraction — K is huge there, so the MXU
+    fill problem the forward kernel solves does not apply to it)."""
+    return conv3d_same(x, w)
+
+
+def _conv3d_t_fwd(x, w):
+    return conv3d_same(x, w), (x, w)
+
+
+def _conv3d_t_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = conv3d_same(g, _flip_swap(w).astype(w.dtype))
+    _, w_vjp = jax.vjp(lambda wt: _xla_conv_ndhwc(x, wt), w)
+    dw, = w_vjp(g)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_same_t.defvjp(_conv3d_t_fwd, _conv3d_t_bwd)

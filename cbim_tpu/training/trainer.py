@@ -41,7 +41,7 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         shard_fn = lambda x: shard_batch(x, mesh)  # noqa: E731
 
     pipeline = TrainPipeline(trainset, cfg, seed=cfg.split_seed + fold_idx,
-                             batch_shard_fn=shard_fn)
+                             batch_shard_fn=shard_fn, mesh=mesh)
 
     model = get_model(cfg)
     rng = jax.random.PRNGKey(cfg.split_seed + 1000 * fold_idx)

@@ -81,3 +81,52 @@ def test_padded_lane_arithmetic_in_interpret(slice_k):
     y = _conv3d_same_pallas(x, w, interpret=True, slice_k=slice_k, pad_c=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_custom_vjp_grads_match_xla():
+    """conv3d_same_t gradients (Pallas dgrad via flip-swap, XLA wgrad) must
+    match jax.grad of the plain XLA conv."""
+    from cbim_tpu.ops.pallas.conv3d import conv3d_same_t
+
+    rng = np.random.default_rng(9)
+    C, F = 8, 8
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    t = jnp.asarray(rng.normal(size=(2, 4, 8, 10, F)).astype(np.float32))
+
+    def loss_pl(x, w):
+        return jnp.sum((conv3d_same_t(x, w) - t) ** 2)
+
+    def loss_xla(x, w):
+        return jnp.sum((_xla_conv(x, w) - t) ** 2)
+
+    gx_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(x, w)
+    gx_xla, gw_xla = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_pl), np.asarray(gx_xla),
+                               atol=2e-3, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_xla),
+                               atol=2e-3, rtol=2e-4)
+
+
+def test_train_path_flag_enables_pallas_conv(monkeypatch):
+    """CBIM_PLCONV=1 + CBIM_PLCONV_TRAIN=1: ConvNormAct trains through the
+    custom-VJP conv; params update and loss is finite."""
+    # force the dispatch (its backend gate would reject CPU) so the Pallas
+    # train path — conv3d_same_t in interpret mode — is genuinely taken
+    from cbim_tpu.models.layers import convs
+    monkeypatch.setattr(convs, "_pallas_conv_usable",
+                        lambda *a, **k: True)
+    from cbim_tpu.models.layers.convs import ConvNormAct
+
+    m = ConvNormAct(8, kernel_size=3, stride=1, norm="in", act="relu")
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, 8, 16, 8)).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x, train=True) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

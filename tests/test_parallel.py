@@ -103,3 +103,40 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_device_cache_engages_under_mesh_and_matches():
+    """VERDICT r1 weak-7: the HBM corpus cache must stay ON under batch
+    sharding (replicated cache, 'data'-sharded augmented batch), and produce
+    the same batches as the unsharded device-cache path."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.data import get_dataset
+    from cbim_tpu.data.pipeline import TrainPipeline
+    from cbim_tpu.parallel.mesh import make_mesh
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, training_size=[8, 16, 16], synthetic_cases=5,
+        synthetic_shape=[10, 24, 24], affine_pad_size=[2, 4, 4],
+        scale=[0.1, 0.2, 0.2], rotate=[10, 0, 0], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.4], split_seed=0, k_fold=5,
+        mesh_axes=["data"], mesh_shape=None, device_cache=True))
+    ds = get_dataset(cfg, mode="train", fold_idx=0)
+    mesh = make_mesh(cfg)
+
+    pipe_plain = TrainPipeline(ds, cfg, seed=3)
+    pipe_mesh = TrainPipeline(ds, cfg, seed=3, mesh=mesh)
+    assert pipe_plain._device_cache is not None
+    assert pipe_mesh._device_cache is not None
+
+    img_p, lab_p = pipe_plain.next_batch(8)
+    img_m, lab_m = pipe_mesh.next_batch(8)
+    # batch comes out sharded along 'data'
+    spec = img_m.sharding.spec
+    assert spec and spec[0] == "data", spec
+    np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_p),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lab_m), np.asarray(lab_p))
