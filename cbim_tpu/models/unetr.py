@@ -71,15 +71,15 @@ class ViT(nn.Module):
         hidden = []
         head_dim = self.hidden_size // self.num_heads
         for _ in range(self.num_layers):
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             x = x + Attention(self.num_heads, head_dim,
                               self.dropout_rate, self.dropout_rate,
                               dtype=self.dtype)(h, train)
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
             x = x + Mlp(self.mlp_dim, self.hidden_size, act="gelu",
                         drop=self.dropout_rate, dtype=self.dtype)(h, train)
             hidden.append(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x, hidden
 
 

@@ -200,7 +200,19 @@ def conv3d_same(x: jax.Array, w: jax.Array,
         from .._backend import is_tpu_backend
         interpret = not is_tpu_backend()
     slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
-    return _conv3d_same_pallas(x, w, interpret, slice_k=slice_k)
+    # The f32 partial tile scales with (h_blk+2) * 9F: at F<=64 the default
+    # h_blk=8 fits VMEM comfortably, but wider outputs (e.g. the dgrad of a
+    # 96->32 conv runs this kernel with F=96) blow the 16 MB budget — shrink
+    # the h tile for those.
+    F = w.shape[-1]
+    H = x.shape[2]
+    h_blk = _H_BLK
+    if F > 64:
+        for cand in (4, 2):
+            if H % cand == 0:
+                h_blk = cand
+                break
+    return _conv3d_same_pallas(x, w, interpret, h_blk=h_blk, slice_k=slice_k)
 
 
 # ---------------------------------------------------------------------------

@@ -101,17 +101,11 @@ def _stub_reference_deps():
         sys.modules["mmcv.runner"] = runner
 
     if "monai" not in sys.modules:
-        # placeholder classes: enough for `import model.dim3` to succeed.
-        # Tests that need real monai blocks (UNETR/SwinUNETR oracles) must
-        # skip — the placeholders raise if instantiated.
+        # functional torch implementations of the MONAI blocks the reference
+        # imports (tests/monai_stub.py) — UNETR and the vendored SwinUNETR
+        # run as real forward-parity oracles.
         import torch
-
-        def _placeholder(name):
-            class _P(torch.nn.Module):
-                def __init__(self, *a, **k):
-                    raise RuntimeError(f"monai stub: {name} not available")
-            _P.__name__ = name
-            return _P
+        import monai_stub
 
         monai = types.ModuleType("monai")
         networks = types.ModuleType("monai.networks")
@@ -129,7 +123,7 @@ def _stub_reference_deps():
             (mlayers, ["DropPath"]),
         ]:
             for n in names:
-                setattr(mod, n, _placeholder(n))
+                setattr(mod, n, getattr(monai_stub, n))
 
         def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
             with torch.no_grad():
@@ -141,6 +135,9 @@ def _stub_reference_deps():
             return v if isinstance(v, (tuple, list)) else (v,) * n
 
         def look_up_option(opt, supported):
+            # monai.utils.look_up_option: dict-like supported maps key->value
+            if isinstance(supported, dict):
+                return supported[opt]
             return opt
 
         def optional_import(*a, **k):

@@ -159,6 +159,7 @@ def test_nnformer_forward_matches_torch_with_same_weights():
         np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vtunet_forward_matches_torch_with_same_weights():
     """Cross-attentive Swin decoder parity (cached k/v, PE fusion, expands)."""
     cf.add_reference_to_path()
@@ -223,6 +224,7 @@ def test_resunet3d_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_swinunet_forward_matches_torch_with_same_weights():
     """SwinUnet2D transplant parity (model/dim2/swin_unet.py vendored
     SwinTransformerSys).  Covers the encoder-depths-reversed decoder, the
@@ -258,6 +260,7 @@ def test_swinunet_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_transunet_forward_matches_torch_with_same_weights():
     """TransUNet transplant parity (model/dim2/transunet.py vendored
     R50-ViT-B_16).  Covers the ResNetV2 55-grid body + zero-padded skips,

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from test_models import init_model, n_params, torch_n_params
 
 
+@pytest.mark.slow
 def test_medformer3d_acdc_config_param_parity():
     torch = pytest.importorskip("torch")
     cf.add_reference_to_path()
@@ -48,6 +49,7 @@ def test_medformer3d_acdc_config_param_parity():
     assert outs[1].shape == (1, 16, 48, 48, 4)
 
 
+@pytest.mark.slow
 def test_medformer2d_param_parity():
     torch = pytest.importorskip("torch")
     cf.add_reference_to_path()
@@ -75,6 +77,7 @@ def test_medformer2d_param_parity():
     assert out.shape == (1, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_medformer3d_finite_and_grad():
     from cbim_tpu.models.medformer import MedFormer3D
     from cbim_tpu.ops.losses import deep_supervision_loss

@@ -101,6 +101,7 @@ def test_daunet_param_parity():
     assert out.shape == (1, 32, 32, 4)
 
 
+@pytest.mark.slow
 def test_factory_builds_all_cnn_models():
     from cbim_tpu.config import config_from_dict
     from cbim_tpu.models import get_model

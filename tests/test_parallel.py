@@ -93,6 +93,7 @@ def test_train_net_over_mesh(tmp_path):
     assert dice.shape == (2,) and np.all(np.isfinite(dice))
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as g
     fn, (params, x) = g.entry()
@@ -100,6 +101,7 @@ def test_graft_entry_single():
     assert out.shape == (1, 8, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

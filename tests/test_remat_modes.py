@@ -37,6 +37,7 @@ def _loss_and_grad(remat, x, rng):
 
 @pytest.mark.parametrize("mode", ["store-up4", "store-decoder", "highres",
                                   "none"])
+@pytest.mark.slow
 def test_mode_matches_full_remat(mode):
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(

@@ -6,6 +6,8 @@ train_state.make_train_step.)
 """
 import numpy as np
 
+import pytest
+
 import conftest  # noqa: F401
 
 import jax
@@ -16,6 +18,7 @@ from cbim_tpu.models import get_model
 from cbim_tpu.training.train_state import create_train_state, make_train_step
 
 
+@pytest.mark.slow
 def test_aux_loss_train_step_without_batch_stats():
     cfg = config_from_dict(dict(
         dataset="x", model="medformer", dimension="3d", classes=3, in_chan=1,

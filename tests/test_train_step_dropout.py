@@ -8,6 +8,8 @@ step 1 with flax.errors.InvalidRngError. make_train_step now derives a
 """
 import numpy as np
 
+import pytest
+
 import conftest  # noqa: F401
 
 import jax
@@ -38,6 +40,7 @@ def _one_step(model, cfg, img, lab):
     return state, state2, step
 
 
+@pytest.mark.slow
 def test_nnformer_trains_with_drop_path_active():
     from cbim_tpu.models.nnformer import NNFormer
 

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from test_models import init_model, n_params
 
 
+@pytest.mark.slow
 def test_unetr_shapes_and_grad():
     from cbim_tpu.models.unetr import UNETR
 
@@ -84,6 +85,7 @@ def test_swin_relative_position_index_matches_reference():
     np.testing.assert_array_equal(ours, ref_idx)
 
 
+@pytest.mark.slow
 def test_swin_unetr_forward():
     from cbim_tpu.models.swin_unetr import SwinUNETR
 

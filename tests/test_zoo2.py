@@ -71,6 +71,7 @@ def test_transunet_resnet_param_parity():
     assert n_params(v["params"]) == torch_n_params(ref)
 
 
+@pytest.mark.slow
 def test_swinunet_forward():
     from cbim_tpu.models.swin_unet import SwinUnet2D
 

@@ -77,6 +77,7 @@ def test_attention_unet3d_forward_matches_torch():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vnet_forward_matches_torch():
     cf.add_reference_to_path()
     from model.dim3.vnet import VNet as Ref
@@ -171,6 +172,7 @@ def test_medformer2d_forward_matches_torch():
                                rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_transunet_npz_pretrain_matches_reference_load_from():
     """Official .npz backbone loading: a synthetic R50+ViT-B_16-shaped npz is
     loaded by the reference's load_from and by import_transunet_npz; with the
@@ -259,6 +261,7 @@ def test_transunet_npz_pretrain_matches_reference_load_from():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_swinunet_pth_pretrain_matches_reference_load_from(tmp_path):
     """Official swin-tiny {'model': ...} .pth loading: the reference's
     load_from mirrors encoder layers into the decoder and loads with
