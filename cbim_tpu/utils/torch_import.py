@@ -120,10 +120,15 @@ def import_for_model(cfg, state_dict, variables):
     if name == "daunet":
         return import_daunet(state_dict, variables,
                              block=getattr(cfg, "block", "BasicBlock"))
+    if name == "unetr":
+        return out(import_unetr(state_dict, params))
+    if name == "swin_unetr":
+        return out(import_swin_unetr(state_dict, params))
     raise NotImplementedError(
         f"torch-checkpoint import not implemented for {name} ({dim}); "
         f"supported: unet/resunet (2d+3d), medformer (3d), nnformer, "
-        f"vtunet, swinunet, transunet, unet++, attention_unet, vnet, daunet")
+        f"vtunet, swinunet, transunet, unet++, attention_unet, vnet, daunet, "
+        f"unetr, swin_unetr")
 
 
 def _bmha_perm(heads: int, dim_head: int) -> np.ndarray:
@@ -1200,3 +1205,120 @@ def import_transunet_npz(npz, variables):
                     sd[f"{t}.gn_proj.bias"] = w[f"{src}/gn_proj/bias"].reshape(-1)
 
     return import_transunet(sd, variables, strict=False)
+
+
+def _map_unet_res_block(blk, sd, tkey):
+    """monai dynunet UnetResBlock -> our unetr.UnetResBlock params."""
+    blk["Conv_0"]["kernel"] = conv_to_flax(sd[f"{tkey}.conv1.weight"])
+    blk["_INorm_0"]["scale"] = sd[f"{tkey}.norm1.weight"]
+    blk["_INorm_0"]["bias"] = sd[f"{tkey}.norm1.bias"]
+    blk["Conv_1"]["kernel"] = conv_to_flax(sd[f"{tkey}.conv2.weight"])
+    blk["_INorm_1"]["scale"] = sd[f"{tkey}.norm2.weight"]
+    blk["_INorm_1"]["bias"] = sd[f"{tkey}.norm2.bias"]
+    if f"{tkey}.conv3.weight" in sd:
+        blk["Conv_2"]["kernel"] = conv_to_flax(sd[f"{tkey}.conv3.weight"])
+        blk["_INorm_2"]["scale"] = sd[f"{tkey}.norm3.weight"]
+        blk["_INorm_2"]["bias"] = sd[f"{tkey}.norm3.bias"]
+
+
+def import_unetr(state_dict, params):
+    """Map reference model/dim3/unetr.py (MONAI-composed UNETR) weights onto
+    our UNETR (models/unetr.py)."""
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    vit = p["ViT_0"]
+    pe = vit["PatchEmbedding_0"]
+    pe["Dense_0"]["kernel"] = linear_to_flax(
+        sd["vit.patch_embedding.proj.weight"])
+    pe["Dense_0"]["bias"] = sd["vit.patch_embedding.proj.bias"]
+    pe["position_embeddings"] = sd["vit.patch_embedding.position_embeddings"]
+    n_layers = sum(1 for k in sd if k.endswith(".attn.qkv.weight")
+                   and k.startswith("vit."))
+    for i in range(n_layers):
+        t = f"vit.blocks.{i}"
+        vit[f"LayerNorm_{2 * i}"]["scale"] = sd[f"{t}.norm1.weight"]
+        vit[f"LayerNorm_{2 * i}"]["bias"] = sd[f"{t}.norm1.bias"]
+        attn = vit[f"Attention_{i}"]
+        attn["Dense_0"]["kernel"] = linear_to_flax(sd[f"{t}.attn.qkv.weight"])
+        attn["Dense_1"]["kernel"] = linear_to_flax(
+            sd[f"{t}.attn.out_proj.weight"])
+        attn["Dense_1"]["bias"] = sd[f"{t}.attn.out_proj.bias"]
+        vit[f"LayerNorm_{2 * i + 1}"]["scale"] = sd[f"{t}.norm2.weight"]
+        vit[f"LayerNorm_{2 * i + 1}"]["bias"] = sd[f"{t}.norm2.bias"]
+        mlp = vit[f"Mlp_{i}"]
+        mlp["Dense_0"]["kernel"] = linear_to_flax(sd[f"{t}.mlp.linear1.weight"])
+        mlp["Dense_0"]["bias"] = sd[f"{t}.mlp.linear1.bias"]
+        mlp["Dense_1"]["kernel"] = linear_to_flax(sd[f"{t}.mlp.linear2.weight"])
+        mlp["Dense_1"]["bias"] = sd[f"{t}.mlp.linear2.bias"]
+    vit[f"LayerNorm_{2 * n_layers}"]["scale"] = sd["vit.norm.weight"]
+    vit[f"LayerNorm_{2 * n_layers}"]["bias"] = sd["vit.norm.bias"]
+
+    _map_unet_res_block(p["UnetResBlock_0"], sd, "encoder1.layer")
+    # _TranspConv creation order in models/unetr.py __call__
+    tconvs = ["encoder2.transp_conv_init", "encoder2.blocks.0",
+              "encoder2.blocks.1", "encoder3.transp_conv_init",
+              "encoder3.blocks.0", "encoder4.transp_conv_init",
+              "decoder5.transp_conv", "decoder4.transp_conv",
+              "decoder3.transp_conv", "decoder2.transp_conv"]
+    for i, t in enumerate(tconvs):
+        p[f"_TranspConv_{i}"]["ConvTranspose_0"]["kernel"] = \
+            convtranspose_to_flax(sd[f"{t}.weight"])
+    for i, dec in enumerate(["decoder5", "decoder4", "decoder3", "decoder2"]):
+        _map_unet_res_block(p[f"UnetResBlock_{i + 1}"], sd,
+                            f"{dec}.conv_block")
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["out.conv.weight"])
+    p["Conv_0"]["bias"] = sd["out.conv.bias"]
+    return p
+
+
+def import_swin_unetr(state_dict, params, depths=(2, 2, 2, 0)):
+    """Map reference model/dim3/swin_unetr.py (vendored-MONAI SwinUNETR)
+    weights onto our SwinUNETR (models/swin_unetr.py)."""
+    sd = _to_np(state_dict)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def dense(node, tkey, bias=True):
+        node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        if bias:
+            node["bias"] = sd[f"{tkey}.bias"]
+
+    def ln(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    sw = p["SwinTransformer3D_0"]
+    sw["Conv_0"]["kernel"] = conv_to_flax(sd["swinViT.patch_embed.proj.weight"])
+    sw["Conv_0"]["bias"] = sd["swinViT.patch_embed.proj.bias"]
+    blk_idx = 0
+    for stage, depth in enumerate(depths):
+        t = f"swinViT.layers{stage + 1}.0"
+        for b in range(depth):
+            blk = sw[f"SwinBlock_{blk_idx}"]
+            ln(blk["LayerNorm_0"], f"{t}.blocks.{b}.norm1")
+            attn = blk["WindowAttention_0"]
+            dense(attn["Dense_0"], f"{t}.blocks.{b}.attn.qkv")
+            attn["relative_position_bias_table"] = \
+                sd[f"{t}.blocks.{b}.attn.relative_position_bias_table"]
+            dense(attn["Dense_1"], f"{t}.blocks.{b}.attn.proj")
+            ln(blk["LayerNorm_1"], f"{t}.blocks.{b}.norm2")
+            dense(blk["Dense_0"], f"{t}.blocks.{b}.mlp.linear1")
+            dense(blk["Dense_1"], f"{t}.blocks.{b}.mlp.linear2")
+            blk_idx += 1
+        pm = sw[f"PatchMergingLegacy_{stage}"]
+        ln(pm["LayerNorm_0"], f"{t}.downsample.norm")
+        dense(pm["Dense_0"], f"{t}.downsample.reduction", bias=False)
+
+    enc_map = ["encoder1", "encoder2", "encoder3", "encoder4", "encoder10"]
+    for i, t in enumerate(enc_map):
+        _map_unet_res_block(p[f"UnetResBlock_{i}"], sd, f"{t}.layer")
+    dec_map = ["decoder5", "decoder4", "decoder3", "decoder2", "decoder1"]
+    for i, t in enumerate(dec_map):
+        p[f"_TranspConv_{i}"]["ConvTranspose_0"]["kernel"] = \
+            convtranspose_to_flax(sd[f"{t}.transp_conv.weight"])
+        _map_unet_res_block(p[f"UnetResBlock_{i + 5}"], sd, f"{t}.conv_block")
+    p["Conv_0"]["kernel"] = conv_to_flax(sd["out.conv.weight"])
+    p["Conv_0"]["bias"] = sd["out.conv.bias"]
+    return p
