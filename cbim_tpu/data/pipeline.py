@@ -251,10 +251,32 @@ class TrainPipeline:
 
     def _init_device_cache(self, dataset, cache_shape):
         n = len(dataset.images)
+        # Low-side margin + high-side headroom so the virtual-start window
+        # sampling (see the host-side comment below) stays a plain
+        # non-negative dynamic_slice: start index = margin + virtual_start.
+        # Exact per-axis bounds over the actual volumes:
+        margins, extents = [], []
+        for ax, b in enumerate(self.buffer_shape):
+            lo_need, hi_need = 0, 0
+            for im in dataset.images:
+                s = im.shape[ax]
+                if s <= b:
+                    v_min = -((b - s) // 2)           # centered placement
+                    v_max = v_min
+                else:
+                    m = (b - self.crop_size[ax]) // 2
+                    v_min, v_max = -m, s - b + m
+                lo_need = max(lo_need, -v_min)
+                hi_need = max(hi_need, v_max + b)      # end offset in volume
+            margins.append(lo_need)
+            extents.append(lo_need + hi_need)
+        self._cache_margin = np.asarray(margins, np.int32)
+        cache_shape = tuple(max(c, e) for c, e in zip(cache_shape, extents))
         imgs = np.zeros((n, *cache_shape), np.float32)
         labs = np.zeros((n, *cache_shape), np.int8)
         for i, (im, lb) in enumerate(zip(dataset.images, dataset.labels)):
-            sl = tuple(slice(0, s) for s in im.shape)
+            sl = tuple(slice(lo, lo + s)
+                       for lo, s in zip(margins, im.shape))
             imgs[(i, *sl)] = im
             labs[(i, *sl)] = lb
         # bf16 cache by default: halves HBM footprint and the resample's
@@ -302,36 +324,48 @@ class TrainPipeline:
             self._device_cache = jax.jit(gather_and_aug)
 
     # -- host side -----------------------------------------------------------
+    #
+    # Window-start distribution: the buffer is training_size + pad; its
+    # CENTER becomes the final crop center after the fused affine+crop.  The
+    # reference affines the full volume then random-crops with start ~
+    # randint(0, size - crop) (crop_3d), i.e. crop centers uniform over
+    # [crop/2, size - crop/2].  Sampling the buffer start uniformly over
+    # [-pad/2, size - buffer + pad/2] (out-of-volume margin zero-filled)
+    # reproduces EXACTLY that center range — without it, edge crops are
+    # unreachable and the pipeline over-samples volume centers (measured in
+    # docs/aug_parity.md).
+
+    def _virtual_start(self, s: int, ax: int) -> int:
+        """Window start relative to the volume (may be negative: zero margin)."""
+        b = self.buffer_shape[ax]
+        if s <= b:
+            return -((b - s) // 2)           # centered placement
+        m = (b - self.crop_size[ax]) // 2
+        return int(self._rng.integers(-m, s - b + m + 1))
+
+    def _window_coords(self, shape):
+        """[src0.., copy_w.., dst_off..] per axis (virtual-start sampling)."""
+        starts, sizes, offs = [], [], []
+        for ax, b in enumerate(self.buffer_shape):
+            s = shape[ax]
+            v = self._virtual_start(s, ax)
+            src0 = max(v, 0)
+            src1 = min(v + b, s)
+            starts.append(src0)
+            sizes.append(src1 - src0)
+            offs.append(src0 - v)
+        return starts, sizes, offs
+
     def _window(self, img: np.ndarray, lab: np.ndarray):
         """Random window of buffer_shape, zero-padded + centered if needed."""
         buf_img = np.zeros(self.buffer_shape, np.float32)
         buf_lab = np.zeros(self.buffer_shape, np.int32)
-        slices_src, slices_dst = [], []
-        for ax, b in enumerate(self.buffer_shape):
-            s = img.shape[ax]
-            w = min(b, s)
-            # reference crop_3d: start ~ randint(0, max(size-crop, 1))
-            hi = max(s - w, 1)
-            start = int(self._rng.integers(0, hi)) if s > w else 0
-            off = (b - w) // 2
-            slices_src.append(slice(start, start + w))
-            slices_dst.append(slice(off, off + w))
+        starts, sizes, offs = self._window_coords(img.shape)
+        slices_src = [slice(s0, s0 + w) for s0, w in zip(starts, sizes)]
+        slices_dst = [slice(o, o + w) for o, w in zip(offs, sizes)]
         buf_img[tuple(slices_dst)] = img[tuple(slices_src)]
         buf_lab[tuple(slices_dst)] = lab[tuple(slices_src)]
         return buf_img, buf_lab
-
-    def _window_coords(self, shape):
-        """[z0.., w.., off..] per axis with reference crop_3d randint bounds."""
-        starts, sizes, offs = [], [], []
-        for ax, b in enumerate(self.buffer_shape):
-            s = shape[ax]
-            w = min(b, s)
-            hi = max(s - w, 1)
-            start = int(self._rng.integers(0, hi)) if s > w else 0
-            starts.append(start)
-            sizes.append(w)
-            offs.append((b - w) // 2)
-        return starts, sizes, offs
 
     def host_batch(self, batch_size: int):
         """Labels travel as int8 (medical label sets are tiny): 4x less
@@ -372,10 +406,9 @@ class TrainPipeline:
             starts = np.zeros((batch_size, self.ndim), np.int32)
             for i, idx in enumerate(idxs):
                 shape = self._vol_shapes[idx]
-                for ax, b in enumerate(self.buffer_shape):
-                    s = int(shape[ax])
-                    hi = max(s - b, 1)
-                    starts[i, ax] = int(self._rng.integers(0, hi)) if s > b else 0
+                for ax in range(self.ndim):
+                    v = self._virtual_start(int(shape[ax]), ax)
+                    starts[i, ax] = self._cache_margin[ax] + v
             img, lab = self._device_cache(self._cache_img, self._cache_lab,
                                           jnp.asarray(idxs),
                                           jnp.asarray(starts), keys)
