@@ -112,14 +112,16 @@ class _PallasConv3x3(nn.Module):
 
 def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     """Pallas conv dispatch: 3D, 3^3/stride-1/SAME, channel widths within the
-    kernel's VMEM budget, tile divisibility, TPU backend.  Opt-in:
-    CBIM_PLCONV=1 enables the eval path, CBIM_PLCONV_TRAIN=1 additionally the
-    training path (Pallas forward + dgrad, XLA wgrad — conv3d_same_t)."""
+    kernel's VMEM budget, tile divisibility, TPU backend.  Default ON (the
+    kernel is parity-tested fw+bw); CBIM_PLCONV=0 disables, and
+    CBIM_PLCONV_TRAIN=0 disables just the training path (Pallas forward +
+    dgrad, XLA wgrad — conv3d_same_t).  Measured: +15% train throughput on
+    MedFormer-AMOS 128^3 (docs/benchmarks.md)."""
     import os
     from ...ops.pallas.conv3d import _D_BLK, _H_BLK
-    if os.environ.get("CBIM_PLCONV") != "1":
+    if os.environ.get("CBIM_PLCONV", "1") == "0":
         return False
-    if train and os.environ.get("CBIM_PLCONV_TRAIN") != "1":
+    if train and os.environ.get("CBIM_PLCONV_TRAIN", "1") == "0":
         return False
     if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
             or p != (1, 1, 1) or groups != 1:
@@ -159,9 +161,9 @@ class ConvNormAct(nn.Module):
             p = _tuple(self.padding, nd)
         if _pallas_conv_usable(x, nd, k, s, d, p, self.groups, self.out_ch,
                                train):
-            # eval-only tap-packed Pallas conv; name matches nn.Conv's auto
-            # scope so the variables dict is interchangeable with the train
-            # path (docs/benchmarks.md for measured wins)
+            # tap-packed Pallas conv (trainable: custom VJP); name matches
+            # nn.Conv's auto scope so the variables dict is interchangeable
+            # with the XLA path (docs/benchmarks.md for measured wins)
             conv = _PallasConv3x3(self.out_ch, use_bias=self.use_bias,
                                   dtype=self.dtype, name="Conv_0")
         else:

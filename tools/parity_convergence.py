@@ -83,6 +83,75 @@ CONFIG = {
     "reproduce_seed": 2023,
 }
 
+# 3D flagship recipe (MedFormer, reference config/acdc/medformer_3d.yaml
+# scaled to CPU-runnable geometry; chan_num stays the reference ctor default)
+EPOCHS_3D = 20
+K_FOLD_3D = 2
+BATCH_3D = 2
+TRAINING_SIZE_3D = [16, 64, 64]
+CONFIG3D = {
+    "classes": CLASSES,
+    "modality": "mri",
+    "arch": "medformer",
+    "in_chan": 1,
+    "base_chan": 32,
+    "conv_block": "BasicBlock",
+    "down_scale": [[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]],
+    "kernel_size": [[1, 3, 3], [1, 3, 3], [3, 3, 3], [3, 3, 3], [3, 3, 3]],
+    "norm": "in",
+    "act": "relu",
+    "map_size": [2, 6, 6],
+    "conv_num": [2, 0, 0, 0, 0, 0, 2, 2],
+    "trans_num": [0, 2, 2, 2, 2, 2, 0, 0],
+    "num_heads": [1, 4, 4, 4, 4, 4, 1, 1],
+    "expansion": 4,
+    "fusion_depth": 2,
+    "fusion_dim": 256,
+    "fusion_heads": 4,
+    "attn_drop": 0.0,
+    "proj_drop": 0.0,
+    "proj_type": "depthwise",
+    "rel_pos": False,
+    "se": True,
+    "epochs": EPOCHS_3D,
+    "training_size": TRAINING_SIZE_3D,
+    "start_epoch": 0,
+    "num_workers": 0,
+    "aug_device": "cpu",
+    "aux_loss": True,
+    "aux_weight": [0.5, 0.5],
+    "split_seed": 0,
+    "k_fold": K_FOLD_3D,
+    "optimizer": "adamw",
+    "base_lr": 0.001,
+    "betas": [0.9, 0.999],
+    "weight_decay": 0.05,
+    "weight": [0.5, 1, 1, 1],
+    "rlt": 1,
+    "print_freq": 5,
+    "iter_per_epoch": 10,
+    "scale": [0.1, 0.3, 0.3],
+    "rotate": [30, 0, 0],
+    "translate": [0, 0, 0],
+    "affine_pad_size": [4, 16, 16],
+    "gaussian_noise_std": 0.02,
+    "additive_brightness_std": 0.7,
+    "gamma_range": [0.5, 1.6],
+    "ema": True,
+    "ema_alpha": 0.99,
+    "val_freq": 10,
+    "sliding_window": True,
+    "window_size": TRAINING_SIZE_3D,
+    "world_size": 1,
+    "proc_idx": 0,
+    "rank": 0,
+    "port": 10000,
+    "dist_url": "tcp://localhost:10000",
+    "dist_backend": "nccl",
+    "multiprocessing_distributed": False,
+    "reproduce_seed": 2023,
+}
+
 
 # ---------------------------------------------------------------- phantom data
 def _phantom_frame(rng: np.random.Generator, shape, phase: float):
@@ -120,7 +189,7 @@ def _phantom_frame(rng: np.random.Generator, shape, phase: float):
     return img.astype(np.float32), lab
 
 
-def generate(workdir: str):
+def generate(workdir: str, dim: str = "2d"):
     sys.path.insert(0, REPO)
     from cbim_tpu.data.nifti import write_nifti
     import yaml
@@ -132,10 +201,14 @@ def generate(workdir: str):
     for i in range(N_CASES):
         name = f"phantom{i:03d}"
         names.append(name)
-        # depth 12 keeps eval volumes above one 64^3 dice-split block: the
-        # reference's calculate_dice_split (metric/utils.py:41-46) crashes
+        # volume must exceed one 64^3 dice-split block: the reference's
+        # calculate_dice_split (metric/utils.py:41-46) crashes
         # (UnboundLocalError on `i`) when num_voxels < block_size
-        shape = (12, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
+        if dim == "3d":
+            shape = (20, int(rng.integers(120, 136)),
+                     int(rng.integers(120, 136)))
+        else:
+            shape = (12, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
         for idx, phase in [(0, 0.0), (1, 1.0)]:            # ED / ES frames
             img, lab = _phantom_frame(rng, shape, phase)
             sp = (5.0, 1.5625, 1.5625)
@@ -147,24 +220,27 @@ def generate(workdir: str):
     print(f"wrote {N_CASES} cases (2 frames each) to {data_root}")
 
 
-def _write_config(workdir: str, data_root: str):
+def _write_config(workdir: str, data_root: str, dim: str = "2d"):
     import yaml
-    cfg = dict(CONFIG)
+    cfg = dict(CONFIG3D if dim == "3d" else CONFIG)
     cfg["data_root"] = data_root
     cdir = os.path.join(workdir, "config", "acdc")
     os.makedirs(cdir, exist_ok=True)
-    with open(os.path.join(cdir, "unet_2d.yaml"), "w") as f:
+    model = cfg["arch"]
+    with open(os.path.join(cdir, f"{model}_{dim}.yaml"), "w") as f:
         yaml.safe_dump(cfg, f)
     return os.path.join(workdir, "config")
 
 
 # ---------------------------------------------------------------- ref harness
-def run_reference(workdir: str):
+def run_reference(workdir: str, dim: str = "2d"):
     """Run /root/reference/train.py on torch-CPU against the phantom data."""
     import types
 
     data_root = os.path.join(workdir, "data")
-    _write_config(workdir, data_root)
+    _write_config(workdir, data_root, dim)
+    model = (CONFIG3D if dim == "3d" else CONFIG)["arch"]
+    batch = BATCH_3D if dim == "3d" else BATCH
 
     # --- shim 1: SimpleITK backed by our pure-numpy NIfTI reader
     sys.path.insert(0, REPO)
@@ -220,8 +296,8 @@ def run_reference(workdir: str):
 
     os.chdir(workdir)
     sys.path.insert(0, REFERENCE)
-    sys.argv = ["train.py", "--dataset", "acdc", "--model", "unet",
-                "--dimension", "2d", "--batch_size", str(BATCH),
+    sys.argv = ["train.py", "--dataset", "acdc", "--model", model,
+                "--dimension", dim, "--batch_size", str(batch),
                 "--unique_name", "parity_ref",
                 "--cp_path", os.path.join(workdir, "exp_ref/"),
                 "--log_path", os.path.join(workdir, "log_ref/")]
@@ -230,13 +306,15 @@ def run_reference(workdir: str):
 
 
 # ---------------------------------------------------------------- ours
-def run_ours(workdir: str):
+def run_ours(workdir: str, dim: str = "2d"):
     data_root = os.path.join(workdir, "data")
-    config_root = _write_config(workdir, data_root)
+    config_root = _write_config(workdir, data_root, dim)
+    model = (CONFIG3D if dim == "3d" else CONFIG)["arch"]
+    batch = BATCH_3D if dim == "3d" else BATCH
     os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path.insert(0, REPO)
-    sys.argv = ["train.py", "--dataset", "acdc", "--model", "unet",
-                "--dimension", "2d", "--batch_size", str(BATCH),
+    sys.argv = ["train.py", "--dataset", "acdc", "--model", model,
+                "--dimension", dim, "--batch_size", str(batch),
                 "--unique_name", "parity_ours",
                 "--config_root", config_root,
                 "--cp_path", os.path.join(workdir, "exp_ours/"),
@@ -269,7 +347,7 @@ def _parse_cv(path: str):
     return folds, text
 
 
-def report(workdir: str):
+def report(workdir: str, dim: str = "2d"):
     out = {}
     for tag, sub in [("reference", "exp_ref"), ("ours", "exp_ours")]:
         path = os.path.join(workdir, sub, "acdc",
@@ -292,10 +370,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["gen", "ref", "ours", "report"])
     ap.add_argument("--workdir", default="/tmp/parity")
+    ap.add_argument("--dim", default="2d", choices=["2d", "3d"])
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     {"gen": generate, "ref": run_reference, "ours": run_ours,
-     "report": report}[args.mode](args.workdir)
+     "report": report}[args.mode](args.workdir, args.dim)
 
 
 if __name__ == "__main__":
