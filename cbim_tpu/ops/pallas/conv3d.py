@@ -251,12 +251,152 @@ def _conv3d_t_fwd(x, w):
 
 
 def _conv3d_t_bwd(res, g):
+    import os
     x, w = res
     g = g.astype(x.dtype)
     dx = conv3d_same(g, _flip_swap(w).astype(w.dtype))
-    _, w_vjp = jax.vjp(lambda wt: _xla_conv_ndhwc(x, wt), w)
-    dw, = w_vjp(g)
+    if os.environ.get("CBIM_PLWGRAD", "0") == "1":
+        dw = conv3d_wgrad(x, g)
+    else:
+        _, w_vjp = jax.vjp(lambda wt: _xla_conv_ndhwc(x, wt), w)
+        dw, = w_vjp(g)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
 conv3d_same_t.defvjp(_conv3d_t_fwd, _conv3d_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# weight gradient (wgrad) kernel
+# ---------------------------------------------------------------------------
+#
+#   dW[kd, kh, kw, c, f] = sum_{b,d,h,w} xp[b, d+kd, h+kh, w+kw, c]
+#                                      * g[b, d, h, w, f]
+#
+# Tap-packed like the forward: per (b, d-tile, h-tile), stack the three
+# d-shifted input views into x3[M, 3C] (M spans the HALO'd h/w frame) and
+# scatter the gradient tile into nine (kh, kw)-shifted positions of that
+# same frame, G9[M, 9F].  One dot contracting M gives the full packed
+# weight gradient dWp[3C, 9F] for the tile; a single f32 output block is
+# accumulated across the (sequential) grid.  Unpacking dWp is exactly the
+# inverse of _pack_weights.
+
+def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
+                  D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
+                  d_blk: int, h_blk: int, slice_k: bool):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    def tile_dma(slot, b_, di_, hi_):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                      pl.ds(hi_ * h_blk, h_blk + 2)],
+            xt_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        tile_dma(0, b, di, hi).start()
+
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+
+    @pl.when(nxt < n_total)
+    def _():
+        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                 jax.lax.rem(nr, n_h)).start()
+
+    tile_dma(slot, b, di, hi).wait()
+
+    M = d_blk * (h_blk + 2) * Wp
+    views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
+             for kd in range(3)]
+    if slice_k:
+        views = [v[:, :C] for v in views]
+    x3 = jnp.concatenate(views, axis=1)                  # [M, 3C']
+
+    g = g_ref[0]                                         # [d_blk, h_blk, W, F]
+    shifted = [jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw), (0, 0)))
+               for kh in range(3) for kw in range(3)]
+    g9 = jnp.concatenate(shifted, axis=-1).reshape(M, 9 * F)
+
+    dw = jax.lax.dot_general(x3, g9, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(idx == 0)
+    def _():
+        dw_ref[:] = dw
+
+    @pl.when(idx > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+
+
+def conv3d_wgrad(x: jax.Array, g: jax.Array,
+                 interpret: bool | None = None,
+                 d_blk: int = _D_BLK, h_blk: int | None = None,
+                 pad_c: bool | None = None) -> jax.Array:
+    """Weight gradient of the stride-1 SAME 3^3 conv: x[B,D,H,W,C],
+    g[B,D,H,W,F] -> dW[3,3,3,C,F] (f32).  Exact parity with the transpose
+    rule of lax.conv_general_dilated up to f32 accumulation order."""
+    import os
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, W, C = x.shape
+    F = g.shape[-1]
+    assert g.shape == (B, D, H, W, F), (g.shape, x.shape)
+
+    if h_blk is None:
+        h_blk = _H_BLK
+        # G9 frame is (h_blk+2) * Wp * 9F in g.dtype: shrink h for wide F
+        if F > 64:
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    Wp = _round_up(W + 2, 8)
+    if pad_c is None:
+        pad_c = not interpret
+    Cp = _round_up(C, 128) if pad_c else C
+    slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
+    k_dim = 3 * C if slice_k else 3 * Cp
+
+    kernel = functools.partial(
+        _wgrad_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k)
+
+    dwp = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec((1, d_blk, h_blk, W, F),
+                         lambda b, d, h: (b, d, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_dim, 9 * F), lambda b, d, h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_dim, 9 * F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, Wp, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, g)
+
+    if not slice_k and Cp != C:
+        dwp = dwp.reshape(3, Cp, 9 * F)[:, :C].reshape(3 * C, 9 * F)
+    # inverse of _pack_weights: [(kd, c), (kh, kw, f)] -> [kd, kh, kw, c, f]
+    dw = dwp.reshape(3, C, 3, 3, F).transpose(0, 2, 3, 1, 4)
+    return dw

@@ -54,10 +54,36 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
-        bsh_img = NamedSharding(mesh, P("data"))
+        # optional spatial axis (cfg mesh_axes: [data, spatial]): shards the
+        # volume's H axis — the volumetric sequence-parallel analogue
+        # (SURVEY §5.7); XLA inserts the conv halo exchanges.
+        sp = dict(mesh.shape).get("spatial", 1) > 1
+        if sp:
+            is3d = cfg.dimension == "3d"
+            h = cfg.training_size[1 if is3d else 0]
+            assert h % mesh.shape["spatial"] == 0, \
+                (h, mesh.shape["spatial"], "H must divide the spatial axis")
+            h_axis = 2 if is3d else 1          # img: (B, D, H, W, C)/(B, H, W, C)
+            img_spec = [None] * (5 if is3d else 4)
+            img_spec[0], img_spec[h_axis] = "data", "spatial"
+            bsh_img = NamedSharding(mesh, P(*img_spec))
+            bsh_lab = NamedSharding(mesh, P(*img_spec[:-1]))
+            logging.info("Spatial sharding: H axis over %d devices",
+                         mesh.shape["spatial"])
+        else:
+            bsh_img = NamedSharding(mesh, P("data"))
+            bsh_lab = bsh_img
+        if sp:
+            # the pipeline emits 'data'-sharded batches; committed shardings
+            # must match the jit spec exactly, so reshard (a device-local
+            # all-to-all over the H axis, no host roundtrip)
+            _reshard = lambda im, lb: (jax.device_put(im, bsh_img),   # noqa: E731
+                                       jax.device_put(lb, bsh_lab))
+        else:
+            _reshard = None
         state = jax.device_put(state, repl)
         train_step = jax.jit(step_fn,
-                             in_shardings=(repl, bsh_img, bsh_img, None),
+                             in_shardings=(repl, bsh_img, bsh_lab, None),
                              out_shardings=(repl, repl),
                              donate_argnums=0)
     else:
@@ -142,11 +168,15 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
 
         tic = time.time()
         img, lab = pipeline.next_batch(cfg.batch_size)
+        if mesh is not None and _reshard is not None:
+            img, lab = _reshard(img, lab)
         for it in range(iters):
             state, loss = train_step(state, img, lab, lr)
             if it + 1 < iters:
                 # prefetch: host work + H2D overlap the dispatched step
                 img, lab = pipeline.next_batch(cfg.batch_size)
+                if mesh is not None and _reshard is not None:
+                    img, lab = _reshard(img, lab)
             if it % cfg.print_freq == 0:
                 # loss fetch syncs the device; only pay it when printing
                 epoch_loss.update(float(loss), cfg.batch_size)

@@ -130,3 +130,20 @@ def test_train_path_flag_enables_pallas_conv(monkeypatch):
     leaves = jax.tree.leaves(g)
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+@pytest.mark.parametrize("pad_c", [False, True])
+def test_wgrad_kernel_matches_xla(pad_c):
+    from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad
+
+    rng = np.random.default_rng(13)
+    C, F = 8, 8
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.normal(size=(2, 4, 8, 10, F)).astype(np.float32))
+
+    _, w_vjp = jax.vjp(lambda wt: _xla_conv(x, wt), w)
+    want, = w_vjp(g)
+    got = conv3d_wgrad(x, g, interpret=True, pad_c=pad_c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

@@ -142,3 +142,32 @@ def test_device_cache_engages_under_mesh_and_matches():
     np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_p),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(lab_m), np.asarray(lab_p))
+
+
+def test_train_net_with_spatial_axis(tmp_path):
+    """Trainer option for dp x sp sharding (mesh_axes [data, spatial]):
+    the full trainer runs on a 4x2 mesh with the H axis sharded."""
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.parallel.mesh import make_mesh
+    from cbim_tpu.training.trainer import train_net
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, base_chan=4, block="SingleConv", norm="in",
+        down_scale=[[1, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]],
+        kernel_size=[[1, 3, 3]] + [[3, 3, 3]] * 4,
+        training_size=[8, 16, 16], synthetic_cases=5,
+        synthetic_shape=[10, 24, 24], affine_pad_size=[2, 4, 4],
+        scale=[0.1, 0.2, 0.2], rotate=[10, 0, 0], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.4], optimizer="adamw", base_lr=1e-3,
+        betas=[0.9, 0.999], weight_decay=0.01, weight=[0.5, 1, 1], rlt=1,
+        epochs=2, iter_per_epoch=2, print_freq=10, batch_size=4, ema=True,
+        ema_alpha=0.99, val_freq=2, sliding_window=True,
+        window_size=[8, 16, 16], k_fold=5, cp_path=str(tmp_path / "exp"),
+        log_path=str(tmp_path / "log"), unique_name="sp",
+        mesh_axes=["data", "spatial"], mesh_shape=[4, 2]))
+    mesh = make_mesh(cfg)
+    assert mesh.shape["spatial"] == 2
+    dice, asd, hd = train_net(cfg, 0, mesh=mesh)
+    assert dice.shape == (2,) and np.all(np.isfinite(dice))
