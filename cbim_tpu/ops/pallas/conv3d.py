@@ -255,7 +255,7 @@ def _conv3d_t_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
     dx = conv3d_same(g, _flip_swap(w).astype(w.dtype))
-    if os.environ.get("CBIM_PLWGRAD", "0") == "1":
+    if os.environ.get("CBIM_PLWGRAD", "1") != "0":
         dw = conv3d_wgrad(x, g)
     else:
         _, w_vjp = jax.vjp(lambda wt: _xla_conv_ndhwc(x, wt), w)

@@ -85,10 +85,10 @@ CONFIG = {
 
 # 3D flagship recipe (MedFormer, reference config/acdc/medformer_3d.yaml
 # scaled to CPU-runnable geometry; chan_num stays the reference ctor default)
-EPOCHS_3D = 20
+EPOCHS_3D = 12
 K_FOLD_3D = 2
 BATCH_3D = 2
-TRAINING_SIZE_3D = [16, 64, 64]
+TRAINING_SIZE_3D = [16, 48, 48]
 CONFIG3D = {
     "classes": CLASSES,
     "modality": "mri",
@@ -129,7 +129,7 @@ CONFIG3D = {
     "weight": [0.5, 1, 1, 1],
     "rlt": 1,
     "print_freq": 5,
-    "iter_per_epoch": 10,
+    "iter_per_epoch": 8,
     "scale": [0.1, 0.3, 0.3],
     "rotate": [30, 0, 0],
     "translate": [0, 0, 0],
@@ -139,7 +139,7 @@ CONFIG3D = {
     "gamma_range": [0.5, 1.6],
     "ema": True,
     "ema_alpha": 0.99,
-    "val_freq": 10,
+    "val_freq": 12,
     "sliding_window": True,
     "window_size": TRAINING_SIZE_3D,
     "world_size": 1,
