@@ -311,15 +311,20 @@ def run_ours(workdir: str, dim: str = "2d"):
     config_root = _write_config(workdir, data_root, dim)
     model = (CONFIG3D if dim == "3d" else CONFIG)["arch"]
     batch = BATCH_3D if dim == "3d" else BATCH
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # PARITY_PLATFORM=tpu runs our side on the ambient TPU backend (the
+    # convergence comparison needs same data+recipe, not same hardware;
+    # this box has one CPU core, shared with the torch reference run)
+    plat = os.environ.get("PARITY_PLATFORM", "cpu")
+    if plat == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path.insert(0, REPO)
     sys.argv = ["train.py", "--dataset", "acdc", "--model", model,
                 "--dimension", dim, "--batch_size", str(batch),
                 "--unique_name", "parity_ours",
                 "--config_root", config_root,
                 "--cp_path", os.path.join(workdir, "exp_ours/"),
-                "--log_path", os.path.join(workdir, "log_ours/"),
-                "--platform", "cpu"]
+                "--log_path", os.path.join(workdir, "log_ours/")] + \
+        (["--platform", "cpu"] if plat == "cpu" else [])
     import runpy
     runpy.run_path(os.path.join(REPO, "train.py"), run_name="__main__")
 
