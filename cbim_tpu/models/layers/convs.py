@@ -126,7 +126,9 @@ def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
             or p != (1, 1, 1) or groups != 1:
         return False
-    if x.shape[-1] > 128 or out_ch > 64:
+    if x.shape[-1] > 128 or out_ch > 128:
+        # (the adaptive h tile in conv3d_same keeps wide-F partials within
+        # the VMEM budget; >128 channels are lane-dense — XLA is fine there)
         return False
     B, D, H, W, _ = x.shape
     if D % _D_BLK or H % _H_BLK or W % 8:
