@@ -85,7 +85,7 @@ CONFIG = {
 
 # 3D flagship recipe (MedFormer, reference config/acdc/medformer_3d.yaml
 # scaled to CPU-runnable geometry; chan_num stays the reference ctor default)
-EPOCHS_3D = 12
+EPOCHS_3D = 24
 K_FOLD_3D = 2
 BATCH_3D = 2
 TRAINING_SIZE_3D = [16, 48, 48]
@@ -139,7 +139,7 @@ CONFIG3D = {
     "gamma_range": [0.5, 1.6],
     "ema": True,
     "ema_alpha": 0.99,
-    "val_freq": 12,
+    "val_freq": 24,
     "sliding_window": True,
     "window_size": TRAINING_SIZE_3D,
     "world_size": 1,
