@@ -57,15 +57,22 @@ def get_act(name) -> Callable:
 
 
 class Norm(nn.Module):
-    """Config-selected normalization over a channels-last tensor."""
+    """Config-selected normalization over a channels-last tensor.
+
+    ``cw=True`` marks the NDHCW stage layout (channels on the second-minor
+    axis, W minor — see _stage_cw_ok): only InstanceNorm supports it natively
+    (its reduction is over the spatial axes, wherever they live)."""
     kind: Any = "bn"           # 'bn' | 'in' | 'ln' | None/False
     eps: float = 1e-4
     dtype: Any = jnp.float32
+    cw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind in (None, False):
             return x
+        if self.cw and self.kind != "in":
+            raise ValueError("cw layout supports InstanceNorm only")
         if self.kind == "bn":
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=self.eps, dtype=self.dtype)(x)
@@ -73,11 +80,14 @@ class Norm(nn.Module):
             # torch InstanceNorm default: affine=False, no running stats,
             # biased variance over spatial dims per sample/channel.
             from ...ops.pallas import fused_norm
-            if fused_norm.usable("in", None):
+            if not self.cw and fused_norm.usable("in", None):
                 # bandwidth-optimal Pallas lowering on TPU (2 reads + 1 write;
                 # the XLA lowering materializes/transposes f32 intermediates)
                 return fused_norm.instance_norm_act(x, eps=self.eps, act=None)
-            spatial_axes = tuple(range(1, x.ndim - 1))
+            if self.cw:
+                spatial_axes = tuple(range(1, x.ndim - 2)) + (x.ndim - 1,)
+            else:
+                spatial_axes = tuple(range(1, x.ndim - 1))
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=spatial_axes, keepdims=True)
             var = jnp.mean(jnp.square(x32 - mean), axis=spatial_axes, keepdims=True)
@@ -108,6 +118,78 @@ class _PallasConv3x3(nn.Module):
                               jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
+
+
+class _PallasConvCW(nn.Module):
+    """NDHCW twin of _PallasConv3x3: x[B,D,H,C,W] -> y[B,D,H,F,W] through the
+    dense channels-on-sublanes Pallas kernel (ops/pallas/conv3d.py
+    conv3d_same_cw_t).  Same parameter tree as nn.Conv."""
+    out_ch: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.pallas.conv3d import conv3d_same_cw_t
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, 3, x.shape[3], self.out_ch), jnp.float32)
+        y = conv3d_same_cw_t(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)[:, None]
+        return y
+
+
+def _pallas_cw_usable(x, nd, k, s, d, p, groups, out_ch) -> bool:
+    """Dispatch gate for the NDHCW Pallas conv (x is [B, D, H, C, W]).
+    Unlike the NDHWC gate this does not depend on the backend: the caller
+    (_stage_cw_ok) already decided the stage runs in cw layout."""
+    import os
+    from ...ops.pallas.conv3d import _D_BLK
+    if os.environ.get("CBIM_PLCONV", "1") == "0":
+        return False
+    if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
+            or p != (1, 1, 1) or groups != 1:
+        return False
+    B, D, H, C, W = x.shape
+    if C > 128 or out_ch > 128 or C % 8 or out_ch % 8:
+        return False
+    h_need = 8 if max(C, out_ch) <= 64 else 4   # dgrad runs with F=C
+    if D % _D_BLK or H % h_need or W % 8:
+        return False
+    return True
+
+
+def _stage_cw_ok(x, norm, kernel_size, force: bool = False) -> bool:
+    """Should this conv-block stage run in the NDHCW layout?
+
+    The stage layout is worth the two boundary transposes only when (a) the
+    tensors are lane-padded in NDHWC (C < 128) so the dense layout cuts HBM
+    traffic, and (b) the Pallas cw kernels can carry the stride-1 3^3 convs.
+    x is the stage input in NDHWC.  ``force`` bypasses the backend gate for
+    tests (kernels fall back to interpret mode off-TPU)."""
+    import os
+    if os.environ.get("CBIM_CW", "1") == "0":
+        return False
+    force = force or os.environ.get("CBIM_CW_FORCE") == "1"
+    if x.ndim != 5 or norm != "in":
+        return False
+    k = _tuple(kernel_size, 3)
+    if k != (3, 3, 3):
+        return False
+    B, D, H, W, C = x.shape
+    if C >= 128:            # already lane-dense; transposes would be pure cost
+        return False
+    if W % 128:             # W rides the lanes in cw: partial fill would just
+        return False        # trade lane padding on C for lane padding on W
+    if D % 2 or H % 8:
+        return False
+    if not force:
+        from ...ops._backend import is_tpu_backend
+        if not is_tpu_backend():
+            return False
+    return True
 
 
 def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
@@ -150,6 +232,7 @@ class ConvNormAct(nn.Module):
     act: Any = "relu"
     preact: bool = False
     dtype: Any = jnp.float32
+    cw: bool = False           # input/output in NDHCW (see _stage_cw_ok)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -161,8 +244,23 @@ class ConvNormAct(nn.Module):
             p = tuple(ki // 2 for ki in k)
         else:
             p = _tuple(self.padding, nd)
-        if _pallas_conv_usable(x, nd, k, s, d, p, self.groups, self.out_ch,
-                               train):
+        if self.cw:
+            if _pallas_cw_usable(x, nd, k, s, d, p, self.groups, self.out_ch):
+                conv = _PallasConvCW(self.out_ch, use_bias=self.use_bias,
+                                     dtype=self.dtype, name="Conv_0")
+            else:
+                # transpose island: XLA conv in NDHWC for shapes the cw
+                # kernel does not carry (e.g. the wide concat entry conv)
+                xla = nn.Conv(self.out_ch, kernel_size=k, strides=s,
+                              padding=[(pi, pi) for pi in p],
+                              kernel_dilation=d,
+                              feature_group_count=self.groups,
+                              use_bias=self.use_bias,
+                              kernel_init=torch_conv_init, dtype=self.dtype)
+                conv = lambda t: jnp.transpose(
+                    xla(jnp.transpose(t, (0, 1, 2, 4, 3))), (0, 1, 2, 4, 3))
+        elif _pallas_conv_usable(x, nd, k, s, d, p, self.groups, self.out_ch,
+                                 train):
             # tap-packed Pallas conv (trainable: custom VJP); name matches
             # nn.Conv's auto scope so the variables dict is interchangeable
             # with the XLA path (docs/benchmarks.md for measured wins)
@@ -178,14 +276,14 @@ class ConvNormAct(nn.Module):
         # the dim2 twin relies on the torch default 1e-5
         eps = 1e-4 if nd == 3 else 1e-5
         from ...ops.pallas import fused_norm
-        if fused_norm.usable(self.norm, self.act):
+        if not self.cw and fused_norm.usable(self.norm, self.act):
             # one fused InstanceNorm+act kernel instead of norm -> act
             if self.preact:
                 return conv(fused_norm.instance_norm_act(x, eps=eps,
                                                          act=self.act))
             return fused_norm.instance_norm_act(conv(x), eps=eps,
                                                 act=self.act)
-        norm = Norm(self.norm, eps=eps, dtype=self.dtype)
+        norm = Norm(self.norm, eps=eps, dtype=self.dtype, cw=self.cw)
         act = get_act(self.act)
         if self.preact:
             return conv(act(norm(x, train)))
@@ -201,12 +299,13 @@ class SingleConv(nn.Module):
     act: Any = "relu"
     preact: bool = False
     dtype: Any = jnp.float32
+    cw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvNormAct(self.out_ch, self.kernel_size, self.stride,
                            norm=self.norm, act=self.act, preact=self.preact,
-                           dtype=self.dtype)(x, train)
+                           dtype=self.dtype, cw=self.cw)(x, train)
 
 
 class BasicBlock(nn.Module):
@@ -218,22 +317,23 @@ class BasicBlock(nn.Module):
     act: Any = "relu"
     preact: bool = True
     dtype: Any = jnp.float32
+    cw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nd = x.ndim - 2
-        in_ch = x.shape[-1]
+        in_ch = x.shape[3] if self.cw else x.shape[-1]
         out = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
                           norm=self.norm, act=self.act, preact=self.preact,
-                          dtype=self.dtype)(x, train)
+                          dtype=self.dtype, cw=self.cw)(x, train)
         out = ConvNormAct(self.out_ch, self.kernel_size, 1,
                           norm=self.norm, act=self.act, preact=self.preact,
-                          dtype=self.dtype)(out, train)
+                          dtype=self.dtype, cw=self.cw)(out, train)
         stride = _tuple(self.stride, nd)
         if any(s != 1 for s in stride) or in_ch != self.out_ch:
             shortcut = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
                                    norm=self.norm, act=self.act, preact=self.preact,
-                                   dtype=self.dtype)(x, train)
+                                   dtype=self.dtype, cw=self.cw)(x, train)
         else:
             shortcut = x
         return out + shortcut

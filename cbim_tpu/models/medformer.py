@@ -32,8 +32,11 @@ from flax import linen as nn
 from ..ops.interpolate import resize_linear
 from .layers.convs import (ConvNormAct, DepthwiseSeparableConv, FusedMBConv,
                            MBConv, Norm, get_block_cls, torch_conv_init,
-                           _tuple)
+                           _stage_cw_ok, _tuple)
 from .layers.transformers import TransformerBlock
+
+#: block classes that understand the NDHCW stage layout (cw= field)
+_CW_BLOCKS = ("BasicBlock", "SingleConv", "ConvNormAct")
 
 
 class BidirectionAttention(nn.Module):
@@ -310,9 +313,18 @@ class InConvMF(nn.Module):
         x = nn.Conv(self.out_ch, kernel_size=k,
                     padding=[(ki // 2, ki // 2) for ki in k], use_bias=False,
                     kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        # full-res stages run their conv blocks in the dense NDHCW layout
+        # (layers/convs.py _stage_cw_ok): 4x less HBM traffic at C=32
+        cw = self.conv_block in _CW_BLOCKS and _stage_cw_ok(
+            x, self.norm, self.kernel_size)
+        if cw:
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         x = get_block_cls(self.conv_block)(
             self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
-            act=self.act, dtype=self.dtype)(x, train)
+            act=self.act, dtype=self.dtype, **({"cw": True} if cw else {}))(
+                x, train)
+        if cw:
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         return x
 
 
@@ -344,9 +356,16 @@ class DownBlockMF(nn.Module):
         x = PatchMerging(self.out_ch, self.down_scale, self.proj_type,
                          self.kernel_size, self.norm, dtype=self.dtype)(x, train)
         blk = get_block_cls(self.conv_block)
+        cw = self.conv_num > 0 and self.conv_block in _CW_BLOCKS and \
+            _stage_cw_ok(x, self.norm, self.kernel_size)
+        if cw:
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         for _ in range(self.conv_num):
             x = blk(self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
-                    act=self.act, dtype=self.dtype)(x, train)
+                    act=self.act, dtype=self.dtype,
+                    **({"cw": True} if cw else {}))(x, train)
+        if cw:
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         semantic_map = (SemanticMapGeneration(map_dim, self.map_size,
                                               dtype=self.dtype)(x)
                         if self.map_generate else None)
@@ -406,9 +425,16 @@ class UpBlockMF3D(nn.Module):
                 no_map_out=self.no_map_out, dtype=self.dtype)(
                     out, semantic_map, train)
         blk = get_block_cls(self.conv_block)
+        cw = self.conv_num > 0 and self.conv_block in _CW_BLOCKS and \
+            _stage_cw_ok(out, self.norm, self.kernel_size)
+        if cw:
+            out = jnp.transpose(out, (0, 1, 2, 4, 3))
         for _ in range(self.conv_num):
             out = blk(self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
-                      act=self.act, dtype=self.dtype)(out, train)
+                      act=self.act, dtype=self.dtype,
+                      **({"cw": True} if cw else {}))(out, train)
+        if cw:
+            out = jnp.transpose(out, (0, 1, 2, 4, 3))
         return out, semantic_map
 
 

@@ -400,3 +400,253 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
     # inverse of _pack_weights: [(kd, c), (kh, kw, f)] -> [kd, kh, kw, c, f]
     dw = dwp.reshape(3, C, 3, 3, F).transpose(0, 2, 3, 1, 4)
     return dw
+
+
+# ---------------------------------------------------------------------------
+# NDHCW ("cw") variants: channels on sublanes, W on lanes
+# ---------------------------------------------------------------------------
+#
+# A bf16 NDHWC tensor with C < 128 is physically lane-padded in HBM (C=32
+# occupies 32 of 128 lanes -> 4x memory and bandwidth).  Storing the stage
+# tensors as [B, D, H, C, W] instead puts W (typically 128) on the lanes and
+# C on the sublanes: DENSE in HBM, so the pre-pad, the kernel's tile DMAs,
+# the output writes, and every surrounding elementwise/norm op move 4x less
+# data at full-res widths.  The MXU math is unchanged: each tile is
+# transposed C<->W **in VMEM** (cheap — VPU shuffles) back into the proven
+# tap-packed form, and the output tile is transposed back before the store.
+#
+# Caller contract: x_cw[B, D, H, C, W] is pre-padded in D and H only
+# (zero halo); the W halo + lane alignment is materialized in VMEM.
+
+def _conv_kernel_cw(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
+                    W: int, Wp: int, C: int, F: int,
+                    d_blk: int, h_blk: int):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    def tile_dma(slot, b_, di_, hi_):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                      pl.ds(hi_ * h_blk, h_blk + 2)],
+            xt_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        tile_dma(0, b, di, hi).start()
+
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+
+    @pl.when(nxt < n_total)
+    def _():
+        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                 jax.lax.rem(nr, n_h)).start()
+
+    tile_dma(slot, b, di, hi).wait()
+
+    # [d+2, h+2, C, W] -> [d+2, h+2, W, C] in VMEM, then W halo + alignment
+    t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))
+    tp = jnp.pad(t, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
+
+    M = d_blk * (h_blk + 2) * Wp
+    views = [tp[kd:kd + d_blk].reshape(M, C) for kd in range(3)]
+    x3 = jnp.concatenate(views, axis=1)
+
+    partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
+    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
+
+    acc = jnp.zeros((d_blk, h_blk, W, F), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            j = kh * 3 + kw
+            acc = acc + partial[:, kh:kh + h_blk, kw:kw + W,
+                                j * F:(j + 1) * F]
+    y_ref[0] = jnp.transpose(acc, (0, 1, 3, 2)).astype(y_ref.dtype)
+
+
+def conv3d_same_cw(x: jax.Array, w: jax.Array,
+                   interpret: bool | None = None,
+                   d_blk: int = _D_BLK, h_blk: int | None = None) -> jax.Array:
+    """Stride-1 SAME 3^3 conv in NDHCW layout: x[B,D,H,C,W], w[3,3,3,C,F]
+    -> y[B,D,H,F,W].  Exact lax.conv parity (f32 accumulation) on the
+    NDHWC-transposed data; verified by tests/test_pallas_conv.py."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = w.shape[-1]
+    assert w.shape == (3, 3, 3, C, F), (w.shape, x.shape)
+    if h_blk is None:
+        h_blk = _H_BLK
+        if F > 64:                      # f32 partial scales with 9F
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    Wp = _round_up(W + 2, 8)
+    # dense D/H halo pad (no W pad, no lane pad — the 4x saving vs the
+    # NDHWC path's [.., Wp, Cp] pre-pad)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    wp = _pack_weights(w).astype(x.dtype)
+
+    kernel = functools.partial(
+        _conv_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec((3 * C, 9 * F), lambda b, d, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_blk, h_blk, F, W),
+                               lambda b, d, h: (b, d, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, F, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, wp)
+    return y
+
+
+def _wgrad_kernel_cw(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
+                     W: int, Wp: int, C: int, F: int,
+                     d_blk: int, h_blk: int):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    def tile_dma(slot, b_, di_, hi_):
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                      pl.ds(hi_ * h_blk, h_blk + 2)],
+            xt_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(idx, 2)
+
+    @pl.when(idx == 0)
+    def _():
+        tile_dma(0, b, di, hi).start()
+
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+
+    @pl.when(nxt < n_total)
+    def _():
+        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                 jax.lax.rem(nr, n_h)).start()
+
+    tile_dma(slot, b, di, hi).wait()
+
+    t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))   # [d+2, h+2, W, C]
+    tp = jnp.pad(t, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
+    M = d_blk * (h_blk + 2) * Wp
+    views = [tp[kd:kd + d_blk].reshape(M, C) for kd in range(3)]
+    x3 = jnp.concatenate(views, axis=1)                  # [M, 3C]
+
+    g = jnp.transpose(g_ref[0], (0, 1, 3, 2))            # [d_blk, h_blk, W, F]
+    shifted = [jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw), (0, 0)))
+               for kh in range(3) for kw in range(3)]
+    g9 = jnp.concatenate(shifted, axis=-1).reshape(M, 9 * F)
+
+    dw = jax.lax.dot_general(x3, g9, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(idx == 0)
+    def _():
+        dw_ref[:] = dw
+
+    @pl.when(idx > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+
+
+def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
+                    interpret: bool | None = None,
+                    d_blk: int = _D_BLK, h_blk: int | None = None) -> jax.Array:
+    """Weight gradient in NDHCW layout: x[B,D,H,C,W], g[B,D,H,F,W]
+    -> dW[3,3,3,C,F] (f32)."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = g.shape[3]
+    assert g.shape == (B, D, H, F, W), (g.shape, x.shape)
+    if h_blk is None:
+        h_blk = _H_BLK
+        if F > 64:
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    Wp = _round_up(W + 2, 8)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _wgrad_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+
+    dwp = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, d_blk, h_blk, F, W),
+                         lambda b, d, h: (b, d, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * C, 9 * F), lambda b, d, h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * C, 9 * F), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, g)
+
+    dw = dwp.reshape(3, C, 3, 3, F).transpose(0, 2, 3, 1, 4)
+    return dw
+
+
+@jax.custom_vjp
+def conv3d_same_cw_t(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Trainable NDHCW stride-1 SAME 3^3 conv: Pallas forward, dgrad (same
+    kernel on the flip-swapped weights) and wgrad, all in the dense
+    channels-on-sublanes layout."""
+    return conv3d_same_cw(x, w)
+
+
+def _conv3d_cw_t_fwd(x, w):
+    return conv3d_same_cw(x, w), (x, w)
+
+
+def _conv3d_cw_t_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = conv3d_same_cw(g, _flip_swap(w).astype(w.dtype))
+    dw = conv3d_wgrad_cw(x, g)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_same_cw_t.defvjp(_conv3d_cw_t_fwd, _conv3d_cw_t_bwd)

@@ -132,6 +132,48 @@ def test_train_path_flag_enables_pallas_conv(monkeypatch):
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
 
 
+@pytest.mark.parametrize("shape,F", CASES)
+def test_cw_matches_lax_conv(shape, F):
+    """NDHCW kernel: same math as the NDHWC kernel on transposed data."""
+    from cbim_tpu.ops.pallas.conv3d import conv3d_same_cw
+
+    rng = np.random.default_rng(21)
+    C = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3))
+    y_cw = conv3d_same_cw(x_cw, w, interpret=True)
+    y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_cw_custom_vjp_grads_match_xla():
+    from cbim_tpu.ops.pallas.conv3d import conv3d_same_cw_t
+
+    rng = np.random.default_rng(23)
+    C, F = 8, 12
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    t = jnp.asarray(rng.normal(size=(2, 4, 8, 10, F)).astype(np.float32))
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3))
+    t_cw = jnp.transpose(t, (0, 1, 2, 4, 3))
+
+    def loss_pl(x_cw, w):
+        return jnp.sum((conv3d_same_cw_t(x_cw, w) - t_cw) ** 2)
+
+    def loss_xla(x, w):
+        return jnp.sum((_xla_conv(x, w) - t) ** 2)
+
+    gx_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(x_cw, w)
+    gx_xla, gw_xla = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(gx_pl, (0, 1, 2, 4, 3))),
+        np.asarray(gx_xla), atol=2e-3, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_xla),
+                               atol=2e-3, rtol=2e-4)
+
+
 @pytest.mark.parametrize("pad_c", [False, True])
 def test_wgrad_kernel_matches_xla(pad_c):
     from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad
