@@ -8,7 +8,11 @@ than the NDHWC path's lane-padded [.., Wp, 128] pre-pad at C=32).
 Run on the real TPU:  python tools/probe_cw_conv.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
