@@ -208,9 +208,10 @@ def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     if nd != 3 or k != (3, 3, 3) or s != (1, 1, 1) or d != (1, 1, 1) \
             or p != (1, 1, 1) or groups != 1:
         return False
-    if x.shape[-1] > 128 or out_ch > 128:
+    if x.shape[-1] > 192 or out_ch > 128:
         # (the adaptive h tile in conv3d_same keeps wide-F partials within
-        # the VMEM budget; >128 channels are lane-dense — XLA is fine there)
+        # the VMEM budget; in_ch up to 192 covers the decoder concat entry
+        # convs whose XLA lowering drags {4,0,3,2,1} layout copies around)
         return False
     B, D, H, W, _ = x.shape
     if D % _D_BLK or H % _H_BLK or W % 8:
