@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import resize_linear
+from ..ops.pallas.conv3d import from_cw, to_cw
 from .layers.convs import (ConvNormAct, DepthwiseSeparableConv, FusedMBConv,
                            MBConv, Norm, get_block_cls, torch_conv_init,
                            _stage_cw_ok, _tuple)
@@ -318,13 +319,13 @@ class InConvMF(nn.Module):
         cw = self.conv_block in _CW_BLOCKS and _stage_cw_ok(
             x, self.norm, self.kernel_size)
         if cw:
-            x = jnp.transpose(x, (0, 1, 2, 4, 3))
+            x = to_cw(x)
         x = get_block_cls(self.conv_block)(
             self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
             act=self.act, dtype=self.dtype, **({"cw": True} if cw else {}))(
                 x, train)
         if cw:
-            x = jnp.transpose(x, (0, 1, 2, 4, 3))
+            x = from_cw(x)
         return x
 
 
@@ -359,13 +360,13 @@ class DownBlockMF(nn.Module):
         cw = self.conv_num > 0 and self.conv_block in _CW_BLOCKS and \
             _stage_cw_ok(x, self.norm, self.kernel_size)
         if cw:
-            x = jnp.transpose(x, (0, 1, 2, 4, 3))
+            x = to_cw(x)
         for _ in range(self.conv_num):
             x = blk(self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
                     act=self.act, dtype=self.dtype,
                     **({"cw": True} if cw else {}))(x, train)
         if cw:
-            x = jnp.transpose(x, (0, 1, 2, 4, 3))
+            x = from_cw(x)
         semantic_map = (SemanticMapGeneration(map_dim, self.map_size,
                                               dtype=self.dtype)(x)
                         if self.map_generate else None)
@@ -428,13 +429,13 @@ class UpBlockMF3D(nn.Module):
         cw = self.conv_num > 0 and self.conv_block in _CW_BLOCKS and \
             _stage_cw_ok(out, self.norm, self.kernel_size)
         if cw:
-            out = jnp.transpose(out, (0, 1, 2, 4, 3))
+            out = to_cw(out)
         for _ in range(self.conv_num):
             out = blk(self.out_ch, kernel_size=self.kernel_size, norm=self.norm,
                       act=self.act, dtype=self.dtype,
                       **({"cw": True} if cw else {}))(out, train)
         if cw:
-            out = jnp.transpose(out, (0, 1, 2, 4, 3))
+            out = from_cw(out)
         return out, semantic_map
 
 

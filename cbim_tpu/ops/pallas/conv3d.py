@@ -629,6 +629,26 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
     return dw
 
 
+# ---------------------------------------------------------------------------
+# layout movers: NDHWC <-> NDHCW
+# ---------------------------------------------------------------------------
+#
+# Left to XLA on purpose: a Pallas relayout kernel (VMEM tile transpose per
+# (b, d, h-slab)) was measured SLOWER end-to-end (2.25 -> 2.17 vols/s at
+# 64 KB tiles, 2.18 at 2 MB tiles) — XLA fuses these transposes into the
+# neighbouring elementwise ops, and an opaque custom call forces extra
+# materialisation on both sides.
+
+def to_cw(x: jax.Array) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D, H, C, W] (stage entry)."""
+    return jnp.transpose(x, (0, 1, 2, 4, 3))
+
+
+def from_cw(x: jax.Array) -> jax.Array:
+    """[B, D, H, C, W] -> [B, D, H, W, C] (stage exit)."""
+    return jnp.transpose(x, (0, 1, 2, 4, 3))
+
+
 @jax.custom_vjp
 def conv3d_same_cw_t(x: jax.Array, w: jax.Array) -> jax.Array:
     """Trainable NDHCW stride-1 SAME 3^3 conv: Pallas forward, dgrad (same
