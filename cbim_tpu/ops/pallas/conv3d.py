@@ -67,9 +67,51 @@ def _pack_weights(w: jax.Array) -> jax.Array:
     return wp.reshape(3 * C, 9 * F)
 
 
+def _grp_g(F: int) -> int:
+    """Lane width of one kh-group in the grouped packing."""
+    return _round_up(3 * F, 128)
+
+
+def _use_grouped(F: int) -> bool:
+    """Grouped packing pays when the per-group zero pad is small relative to
+    the reduce saving: always for F<=64, and exactly free when 3F is a
+    multiple of the 128-lane vreg (e.g. F=128).  For F=96 the +29% MXU pad
+    cost eats the win, so those stay on the flat 9F packing."""
+    return F <= 64 or (3 * F) % 128 == 0
+
+
+def _pack_weights_grouped(w: jax.Array) -> jax.Array:
+    """w[3,3,3,C,F] -> W'[3C, 3*G], G = roundup(3F, 128): the column block
+    for tap (kh, kw) sits at lane offset G*kh + F*kw, zero-padded to G per
+    kh-group.  The kernel's kh-fold then reads three 128-ALIGNED lane
+    groups (full-width VPU adds), leaving only the three narrow kw
+    slice-adds — measured 35% faster than the flat 9F packing whose nine
+    32-lane misaligned slices dominated the kernel (tools/probe_cw_dissect)."""
+    k3, k3b, k3c, C, F = w.shape
+    assert (k3, k3b, k3c) == (3, 3, 3), w.shape
+    G = _grp_g(F)
+    wp = jnp.transpose(w, (0, 3, 1, 2, 4)).reshape(3 * C, 3, 3 * F)
+    wp = jnp.pad(wp, ((0, 0), (0, 0), (0, G - 3 * F)))
+    return wp.reshape(3 * C, 3 * G)
+
+
+def _group_fold(partial, d_blk, h_blk, Wp, W, F):
+    """Reduce a grouped-packing partial [M, 3G] to the conv output tile
+    [d_blk, h_blk, W, F] (f32): aligned full-width kh-fold, then three
+    narrow kw slice-adds."""
+    G = _grp_g(F)
+    p = partial.reshape(d_blk, h_blk + 2, Wp, 3 * G)
+    T = (p[:, 0:h_blk, :, 0:G]
+         + p[:, 1:1 + h_blk, :, G:2 * G]
+         + p[:, 2:2 + h_blk, :, 2 * G:3 * G])
+    return (T[:, :, 0:W, 0:F]
+            + T[:, :, 1:1 + W, F:2 * F]
+            + T[:, :, 2:2 + W, 2 * F:3 * F])
+
+
 def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
                  D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
-                 d_blk: int, h_blk: int, slice_k: bool):
+                 d_blk: int, h_blk: int, slice_k: bool, grouped: bool):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -119,15 +161,22 @@ def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
     x3 = jnp.concatenate(views, axis=1)
 
     partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
-    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
 
     if _NORED:
-        # diagnostic-only (CBIM_PLCONV_NORED=1 at import): skips the 9-term
+        # diagnostic-only (CBIM_PLCONV_NORED=1 at import): skips the
         # shifted reduce and produces WRONG conv outputs; a loud warning is
         # emitted at import time (see _NORED below)
+        n_w = 3 * _grp_g(F) if grouped else 9 * F
+        partial = partial.reshape(d_blk, h_blk + 2, Wp, n_w)
         y_ref[0] = partial[:, 1:1 + h_blk, 1:1 + W, :F].astype(y_ref.dtype)
         return
 
+    if grouped:
+        y_ref[0] = _group_fold(partial, d_blk, h_blk, Wp, W, F).astype(
+            y_ref.dtype)
+        return
+
+    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
     acc = jnp.zeros((d_blk, h_blk, W, F), jnp.float32)
     for kh in range(3):
         for kw in range(3):
@@ -155,23 +204,26 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
         pad_c = not interpret
     Cp = _round_up(C, 128) if pad_c else C
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
-    wp = _pack_weights(w).astype(x.dtype)
+    grouped = _use_grouped(F)
+    n_w = 3 * _grp_g(F) if grouped else 9 * F
+    wp = (_pack_weights_grouped(w) if grouped else _pack_weights(w)
+          ).astype(x.dtype)
     if not slice_k and Cp != C:
         # zero rows for the padded channels: K = 3*Cp
-        wp = wp.reshape(3, C, 9 * F)
-        wp = jnp.pad(wp, ((0, 0), (0, Cp - C), (0, 0))).reshape(3 * Cp, 9 * F)
+        wp = wp.reshape(3, C, n_w)
+        wp = jnp.pad(wp, ((0, 0), (0, Cp - C), (0, 0))).reshape(3 * Cp, n_w)
     k_dim = 3 * C if slice_k else 3 * Cp
 
     kernel = functools.partial(
         _conv_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
-        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k)
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped)
 
     y = pl.pallas_call(
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
-            pl.BlockSpec((k_dim, 9 * F), lambda b, d, h: (0, 0),
+            pl.BlockSpec((k_dim, n_w), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, d_blk, h_blk, W, F),
@@ -420,7 +472,7 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 
 def _conv_kernel_cw(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
                     W: int, Wp: int, C: int, F: int,
-                    d_blk: int, h_blk: int):
+                    d_blk: int, h_blk: int, grouped: bool):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -461,8 +513,13 @@ def _conv_kernel_cw(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
     x3 = jnp.concatenate(views, axis=1)
 
     partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
-    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
 
+    if grouped:
+        acc = _group_fold(partial, d_blk, h_blk, Wp, W, F)
+        y_ref[0] = jnp.transpose(acc, (0, 1, 3, 2)).astype(y_ref.dtype)
+        return
+
+    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
     acc = jnp.zeros((d_blk, h_blk, W, F), jnp.float32)
     for kh in range(3):
         for kw in range(3):
@@ -484,6 +541,7 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
     B, D, H, C, W = x.shape
     F = w.shape[-1]
     assert w.shape == (3, 3, 3, C, F), (w.shape, x.shape)
+    grouped = _use_grouped(F)
     if h_blk is None:
         h_blk = _H_BLK
         if F > 64:                      # f32 partial scales with 9F
@@ -491,23 +549,30 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
                 if H % cand == 0:
                     h_blk = cand
                     break
+        elif F <= 32 and grouped and H % 16 == 0:
+            # measured faster at the full-res F=32 regime (less halo slop,
+            # fewer grid steps); the f32 partial (2*18*Wp*384B) still fits
+            h_blk = 16
     assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
 
     Wp = _round_up(W + 2, 8)
     # dense D/H halo pad (no W pad, no lane pad — the 4x saving vs the
     # NDHWC path's [.., Wp, Cp] pre-pad)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    wp = _pack_weights(w).astype(x.dtype)
+    n_w = 3 * _grp_g(F) if grouped else 9 * F
+    wp = (_pack_weights_grouped(w) if grouped else _pack_weights(w)
+          ).astype(x.dtype)
 
     kernel = functools.partial(
-        _conv_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+        _conv_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk,
+        grouped=grouped)
 
     y = pl.pallas_call(
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
-            pl.BlockSpec((3 * C, 9 * F), lambda b, d, h: (0, 0),
+            pl.BlockSpec((3 * C, n_w), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, d_blk, h_blk, F, W),
