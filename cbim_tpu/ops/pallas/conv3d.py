@@ -333,9 +333,41 @@ conv3d_same_t.defvjp(_conv3d_t_fwd, _conv3d_t_bwd)
 # accumulated across the (sequential) grid.  Unpacking dWp is exactly the
 # inverse of _pack_weights.
 
+def _build_g9(g, Wp, W, F, grouped):
+    """Scatter the gradient tile g[d, h, W, F] into the nine (kh, kw)-shifted
+    positions of the halo'd frame: [d, h+2, Wp, 9F] (flat packing) or
+    [d, h+2, Wp, 3G] (grouped: each piece lane-padded straight to its
+    F*kw offset inside a 128-aligned kh-group, groups summed full-width,
+    then one aligned 3-way concat — avoids the nine misaligned 32-lane
+    concat writes that dominated the flat build)."""
+    if not grouped:
+        shifted = [jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw),
+                               (0, 0)))
+                   for kh in range(3) for kw in range(3)]
+        return jnp.concatenate(shifted, axis=-1)
+    G = _grp_g(F)
+    groups = []
+    for kh in range(3):
+        acc = None
+        for kw in range(3):
+            p = jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw),
+                            (F * kw, G - F * (kw + 1))))
+            acc = p if acc is None else acc + p
+        groups.append(acc)
+    return jnp.concatenate(groups, axis=-1)
+
+
+def _unpack_dw_grouped(dwp: jax.Array, C: int, F: int) -> jax.Array:
+    """Inverse of _pack_weights_grouped on the wgrad output:
+    [3C, 3G] -> [3, 3, 3, C, F]."""
+    G = _grp_g(F)
+    dw = dwp.reshape(3, C, 3, G)[:, :, :, :3 * F].reshape(3, C, 3, 3, F)
+    return dw.transpose(0, 2, 3, 1, 4)
+
+
 def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
                   D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
-                  d_blk: int, h_blk: int, slice_k: bool):
+                  d_blk: int, h_blk: int, slice_k: bool, grouped: bool):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -375,11 +407,8 @@ def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
     x3 = jnp.concatenate(views, axis=1)                  # [M, 3C']
 
     g = g_ref[0]                                         # [d_blk, h_blk, W, F]
-    shifted = [jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw), (0, 0)))
-               for kh in range(3) for kw in range(3)]
-    g9 = jnp.concatenate(shifted, axis=-1).reshape(M, 9 * F)
-
-    dw = jax.lax.dot_general(x3, g9, (((0,), (0,)), ((), ())),
+    g9 = _build_g9(g, Wp, W, F, grouped)
+    dw = jax.lax.dot_general(x3, g9.reshape(M, -1), (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
     @pl.when(idx == 0)
@@ -423,10 +452,12 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
     slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
     k_dim = 3 * C if slice_k else 3 * Cp
+    grouped = _use_grouped(F) and C <= 64
+    n_w = 3 * _grp_g(F) if grouped else 9 * F
 
     kernel = functools.partial(
         _wgrad_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
-        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k)
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped)
 
     dwp = pl.pallas_call(
         kernel,
@@ -437,9 +468,9 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
                          lambda b, d, h: (b, d, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_dim, 9 * F), lambda b, d, h: (0, 0),
+        out_specs=pl.BlockSpec((k_dim, n_w), lambda b, d, h: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k_dim, 9 * F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_dim, n_w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, Wp, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -448,7 +479,9 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
     )(xp, g)
 
     if not slice_k and Cp != C:
-        dwp = dwp.reshape(3, Cp, 9 * F)[:, :C].reshape(3 * C, 9 * F)
+        dwp = dwp.reshape(3, Cp, n_w)[:, :C].reshape(3 * C, n_w)
+    if grouped:
+        return _unpack_dw_grouped(dwp, C, F)
     # inverse of _pack_weights: [(kd, c), (kh, kw, f)] -> [kd, kh, kw, c, f]
     dw = dwp.reshape(3, C, 3, 3, F).transpose(0, 2, 3, 1, 4)
     return dw
@@ -590,7 +623,7 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
 
 def _wgrad_kernel_cw(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
                      W: int, Wp: int, C: int, F: int,
-                     d_blk: int, h_blk: int):
+                     d_blk: int, h_blk: int, grouped: bool):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -629,11 +662,8 @@ def _wgrad_kernel_cw(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
     x3 = jnp.concatenate(views, axis=1)                  # [M, 3C]
 
     g = jnp.transpose(g_ref[0], (0, 1, 3, 2))            # [d_blk, h_blk, W, F]
-    shifted = [jnp.pad(g, ((0, 0), (kh, 2 - kh), (kw, Wp - W - kw), (0, 0)))
-               for kh in range(3) for kw in range(3)]
-    g9 = jnp.concatenate(shifted, axis=-1).reshape(M, 9 * F)
-
-    dw = jax.lax.dot_general(x3, g9, (((0,), (0,)), ((), ())),
+    g9 = _build_g9(g, Wp, W, F, grouped)
+    dw = jax.lax.dot_general(x3, g9.reshape(M, -1), (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
     @pl.when(idx == 0)
@@ -667,9 +697,12 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
 
     Wp = _round_up(W + 2, 8)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    grouped = _use_grouped(F) and C <= 64
+    n_w = 3 * _grp_g(F) if grouped else 9 * F
 
     kernel = functools.partial(
-        _wgrad_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+        _wgrad_kernel_cw, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk,
+        grouped=grouped)
 
     dwp = pl.pallas_call(
         kernel,
@@ -680,9 +713,9 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
                          lambda b, d, h: (b, d, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3 * C, 9 * F), lambda b, d, h: (0, 0),
+        out_specs=pl.BlockSpec((3 * C, n_w), lambda b, d, h: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * C, 9 * F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * C, n_w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -690,6 +723,8 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
         interpret=interpret,
     )(xp, g)
 
+    if grouped:
+        return _unpack_dw_grouped(dwp, C, F)
     dw = dwp.reshape(3, C, 3, 3, F).transpose(0, 2, 3, 1, 4)
     return dw
 
