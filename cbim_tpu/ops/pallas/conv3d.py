@@ -109,6 +109,82 @@ def _group_fold(partial, d_blk, h_blk, Wp, W, F):
             + T[:, :, 2:2 + W, 2 * F:3 * F])
 
 
+def _halo_tile_dma(x_hbm, xt_ref, sem, slot, b, di, hi, n_d: int, n_h: int,
+                   d_blk: int, h_blk: int, dst_trail, src_trail, action: str,
+                   base=None):
+    """Edge-clamped halo'd tile copy from the UNPADDED HBM tensor.
+
+    Copies x_hbm[b, di*d_blk-1 : +d_blk+2, hi*h_blk-1 : +h_blk+2, <trail>]
+    into xt_ref[slot, :, dlo:.., hlo:.., <dst_trail>], where halo rows/cols
+    outside the array bounds are skipped — the caller pre-zeroes edge tiles
+    (_zero_halo), which restores SAME zero-padding semantics without the
+    caller-side XLA pad op (one full HBM write+read per conv) the kernels
+    used to require.  DMA copy shapes must be static, so the clamping is
+    emitted as pl.when branches keyed on the (traced) block index; `action`
+    is 'start' or 'wait' ('wait' must re-emit matching descriptors — the
+    awaited byte count differs per branch).  `base` is an extra predicate
+    AND'ed into every branch (the prefetch-guard condition)."""
+    d_cases = [(1, 1)] if n_d == 1 else [(1, 0), (0, 0), (0, 1)]
+    h_cases = [(1, 1)] if n_h == 1 else [(1, 0), (0, 0), (0, 1)]
+    for dlo, dhi in d_cases:
+        for hlo, hhi in h_cases:
+            conds = [] if base is None else [base]
+            if n_d > 1:
+                conds.append((di == 0) if dlo else (di != 0))
+                conds.append((di == n_d - 1) if dhi else (di != n_d - 1))
+            if n_h > 1:
+                conds.append((hi == 0) if hlo else (hi != 0))
+                conds.append((hi == n_h - 1) if hhi else (hi != n_h - 1))
+            sd = d_blk + 2 - dlo - dhi
+            sh = h_blk + 2 - hlo - hhi
+            src = x_hbm.at[(pl.ds(b, 1),
+                            pl.ds(di * d_blk - 1 + dlo, sd),
+                            pl.ds(hi * h_blk - 1 + hlo, sh)) + src_trail]
+            dst = xt_ref.at[(slot, slice(None),
+                             slice(dlo, dlo + sd),
+                             slice(hlo, hlo + sh)) + dst_trail]
+            desc = pltpu.make_async_copy(src, dst, sem.at[slot])
+            if conds:
+                cond = functools.reduce(jnp.logical_and, conds)
+
+                @pl.when(cond)
+                def _(desc=desc):
+                    getattr(desc, action)()
+            else:
+                getattr(desc, action)()
+
+
+def _zero_halo(xt_ref, slot, di, hi, n_d: int, n_h: int,
+               d_blk: int, h_blk: int, base=None):
+    """Zero the halo rows/cols of xt_ref[slot] that _halo_tile_dma will SKIP
+    for an edge tile (di, hi).  The zero stores and the DMA writes touch
+    disjoint regions of the slot, so issuing the stores right before the DMA
+    start is race-free; interior tiles store nothing."""
+    def _and(c):
+        return c if base is None else jnp.logical_and(base, c)
+
+    trail = xt_ref.shape[4:]
+    z = jnp.zeros((h_blk + 2,) + trail, xt_ref.dtype)
+
+    @pl.when(_and(di == 0))
+    def _():
+        xt_ref[slot, 0, 0] = z
+
+    @pl.when(_and(di == n_d - 1))
+    def _():
+        xt_ref[slot, 0, d_blk + 1] = z
+
+    zh = jnp.zeros((d_blk + 2,) + trail, xt_ref.dtype)
+
+    @pl.when(_and(hi == 0))
+    def _():
+        xt_ref[slot, 0, :, 0] = zh
+
+    @pl.when(_and(hi == n_h - 1))
+    def _():
+        xt_ref[slot, 0, :, h_blk + 1] = zh
+
+
 def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
                  D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
                  d_blk: int, h_blk: int, slice_k: bool, grouped: bool):
@@ -500,10 +576,12 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 # transposed C<->W **in VMEM** (cheap — VPU shuffles) back into the proven
 # tap-packed form, and the output tile is transposed back before the store.
 #
-# Caller contract: x_cw[B, D, H, C, W] is pre-padded in D and H only
-# (zero halo); the W halo + lane alignment is materialized in VMEM.
+# Caller contract: x_cw[B, D, H, C, W] is passed UNPADDED.  The D/H zero
+# halo is restored per-tile by an edge-clamped DMA plus VMEM border zeroing
+# (_halo_tile_dma/_zero_halo); the W halo + lane alignment is materialized
+# in VMEM after the per-tile transpose.
 
-def _conv_kernel_cw(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
+def _conv_kernel_cw(x_hbm, wp_ref, y_ref, xt_ref, sem, *,
                     W: int, Wp: int, C: int, F: int,
                     d_blk: int, h_blk: int, grouped: bool):
     b = pl.program_id(0)
@@ -514,28 +592,32 @@ def _conv_kernel_cw(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
     n_total = pl.num_programs(0) * n_d * n_h
     idx = (b * n_d + di) * n_h + hi
 
-    def tile_dma(slot, b_, di_, hi_):
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
-                      pl.ds(hi_ * h_blk, h_blk + 2)],
-            xt_ref.at[slot], sem.at[slot])
+    # x_hbm is the UNPADDED [B, D, H, C, W] tensor: the D/H zero halo is
+    # restored per-tile (edge-clamped DMA + VMEM border zeroing) instead of
+    # the former caller-side jnp.pad, which cost one full HBM write+read of
+    # the stage tensor per conv.
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
 
     slot = jax.lax.rem(idx, 2)
 
-    @pl.when(idx == 0)
-    def _():
-        tile_dma(0, b, di, hi).start()
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
 
     nxt = idx + 1
     nb = nxt // (n_d * n_h)
     nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
 
-    @pl.when(nxt < n_total)
-    def _():
-        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
-                 jax.lax.rem(nr, n_h)).start()
-
-    tile_dma(slot, b, di, hi).wait()
+    tile_io(slot, b, di, hi, "wait")
 
     # [d+2, h+2, C, W] -> [d+2, h+2, W, C] in VMEM, then W halo + alignment
     t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))
@@ -589,9 +671,9 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
     assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
 
     Wp = _round_up(W + 2, 8)
-    # dense D/H halo pad (no W pad, no lane pad — the 4x saving vs the
-    # NDHWC path's [.., Wp, Cp] pre-pad)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    # no pre-pad at all: the D/H halo is materialized per-tile by the
+    # edge-clamped DMA (W halo + lane alignment already live in VMEM), so
+    # the input rides from HBM exactly once
     n_w = 3 * _grp_g(F) if grouped else 9 * F
     wp = (_pack_weights_grouped(w) if grouped else _pack_weights(w)
           ).astype(x.dtype)
@@ -617,11 +699,11 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, wp)
+    )(x, wp)
     return y
 
 
-def _wgrad_kernel_cw(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
+def _wgrad_kernel_cw(x_hbm, g_ref, dw_ref, xt_ref, sem, *,
                      W: int, Wp: int, C: int, F: int,
                      d_blk: int, h_blk: int, grouped: bool):
     b = pl.program_id(0)
@@ -632,28 +714,29 @@ def _wgrad_kernel_cw(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
     n_total = pl.num_programs(0) * n_d * n_h
     idx = (b * n_d + di) * n_h + hi
 
-    def tile_dma(slot, b_, di_, hi_):
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
-                      pl.ds(hi_ * h_blk, h_blk + 2)],
-            xt_ref.at[slot], sem.at[slot])
+    # unpadded x_hbm + edge-clamped halo DMA, as in _conv_kernel_cw
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
 
     slot = jax.lax.rem(idx, 2)
 
-    @pl.when(idx == 0)
-    def _():
-        tile_dma(0, b, di, hi).start()
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
 
     nxt = idx + 1
     nb = nxt // (n_d * n_h)
     nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
 
-    @pl.when(nxt < n_total)
-    def _():
-        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
-                 jax.lax.rem(nr, n_h)).start()
-
-    tile_dma(slot, b, di, hi).wait()
+    tile_io(slot, b, di, hi, "wait")
 
     t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))   # [d+2, h+2, W, C]
     tp = jnp.pad(t, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
@@ -696,7 +779,6 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
     assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
 
     Wp = _round_up(W + 2, 8)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     grouped = _use_grouped(F) and C <= 64
     n_w = 3 * _grp_g(F) if grouped else 9 * F
 
@@ -721,7 +803,7 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, g)
+    )(x, g)
 
     if grouped:
         return _unpack_dw_grouped(dwp, C, F)
