@@ -84,6 +84,9 @@ class Norm(nn.Module):
                 # bandwidth-optimal Pallas lowering on TPU (2 reads + 1 write;
                 # the XLA lowering materializes/transposes f32 intermediates)
                 return fused_norm.instance_norm_act(x, eps=self.eps, act=None)
+            if self.cw and x.ndim == 5 and fused_norm.usable_cw("in", None):
+                return fused_norm.instance_norm_act_cw(x, eps=self.eps,
+                                                       act=None)
             if self.cw:
                 spatial_axes = tuple(range(1, x.ndim - 2)) + (x.ndim - 1,)
             else:
@@ -284,6 +287,14 @@ class ConvNormAct(nn.Module):
                                                          act=self.act))
             return fused_norm.instance_norm_act(conv(x), eps=eps,
                                                 act=self.act)
+        if self.cw and x.ndim == 5 and fused_norm.usable_cw(self.norm,
+                                                            self.act):
+            # lane-dense cw twin: one fused InstanceNorm+act kernel
+            if self.preact:
+                return conv(fused_norm.instance_norm_act_cw(x, eps=eps,
+                                                            act=self.act))
+            return fused_norm.instance_norm_act_cw(conv(x), eps=eps,
+                                                   act=self.act)
         norm = Norm(self.norm, eps=eps, dtype=self.dtype, cw=self.cw)
         act = get_act(self.act)
         if self.preact:

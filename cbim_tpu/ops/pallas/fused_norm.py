@@ -302,3 +302,207 @@ def instance_norm_act(x: jax.Array, eps: float = 1e-4,
     x3 = x.reshape(B, S, C)
     y3 = _instance_norm_act3(x3, float(eps), act, bool(interpret))
     return y3.reshape(x.shape)
+
+
+# ------------------------------------------------------------ NDHCW variant
+#
+# The cw stage layout [B, D, H, C, W] is lane-DENSE (W rides the 128 lanes),
+# so the same two-pass structure moves exactly the tensor's bytes — unlike
+# the NDHWC kernels above, whose (block, C=32) tiles waste 3/4 of each lane
+# vreg and measured no faster than XLA (hence the CBIM_FUSED_NORM opt-in).
+# This variant is default-ON for cw stages (CBIM_FUSED_NORM_CW=0 opts out).
+#
+# Layout discipline (the first cut hung Mosaic): no in-kernel lane
+# reductions or lane<->sublane relayouts.  The stats kernels accumulate
+# per-(b, c, w) partials (2, C, W) — only outer-dim reduces — and the tiny
+# final W-fold runs in XLA; mean/rstd ride back in as (B, 2, C, 1) so the
+# in-tile broadcast is a native lane-broadcast from a (C, 1) column.
+
+_BLOCK_CW = 16            # s-rows per grid step: (16, C<=128, W=128) bf16 tile
+
+
+def _grids_cw(S: int):
+    block = min(_BLOCK_CW, max(1, S))
+    return block, pl.cdiv(S, block)
+
+
+def _row_spec_cw(block, C, W):
+    return pl.BlockSpec((1, block, C, W), lambda b, s: (b, s, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _sum_spec_cw(C, W):
+    # per-batch partial-sum block, revisited across the s grid axis
+    return pl.BlockSpec((1, 2, C, W), lambda b, s: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _stat_spec_cw(C):
+    return pl.BlockSpec((1, 2, C, 1), lambda b, s: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _mask_cw(s_idx, block: int, S: int, shape) -> jax.Array:
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return rows + s_idx * block < S
+
+
+def _stats_kernel_cw(x_ref, sums_ref, *, S: int, block: int):
+    s = pl.program_id(1)
+
+    x = x_ref[0].astype(jnp.float32)                 # (block, C, W)
+    x = jnp.where(_mask_cw(s, block, S, x.shape), x, 0.0)
+    p = jnp.stack([jnp.sum(x, axis=0), jnp.sum(x * x, axis=0)])  # (2, C, W)
+
+    @pl.when(s == 0)
+    def _():
+        sums_ref[0] = p
+
+    @pl.when(s > 0)
+    def _():
+        sums_ref[0] = sums_ref[0] + p
+
+
+def _apply_kernel_cw(x_ref, stat_ref, y_ref, *, act):
+    act_f = _act_fn(act)
+    x = x_ref[0].astype(jnp.float32)                 # (block, C, W)
+    mean = stat_ref[0, 0]                            # (C, 1): lane-broadcast
+    rstd = stat_ref[0, 1]
+    y_ref[0] = act_f((x - mean) * rstd).astype(y_ref.dtype)
+
+
+def _bwd_stats_kernel_cw(x_ref, dy_ref, stat_ref, sums_ref,
+                         *, S: int, block: int, act):
+    s = pl.program_id(1)
+    act_g = _act_grad_fn(act)
+
+    m = _mask_cw(s, block, S, x_ref.shape[1:])
+    x = jnp.where(m, x_ref[0].astype(jnp.float32), 0.0)
+    dy = jnp.where(m, dy_ref[0].astype(jnp.float32), 0.0)
+    xhat = (x - stat_ref[0, 0]) * stat_ref[0, 1]
+    dyp = dy * act_g(xhat)
+    p = jnp.stack([jnp.sum(dyp, axis=0), jnp.sum(dyp * xhat, axis=0)])
+
+    @pl.when(s == 0)
+    def _():
+        sums_ref[0] = p
+
+    @pl.when(s > 0)
+    def _():
+        sums_ref[0] = sums_ref[0] + p
+
+
+def _bwd_apply_kernel_cw(x_ref, dy_ref, stat_ref, red_ref, dx_ref, *, act):
+    act_g = _act_grad_fn(act)
+    x = x_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    rstd = stat_ref[0, 1]
+    xhat = (x - stat_ref[0, 0]) * rstd
+    dyp = dy * act_g(xhat)
+    a = red_ref[0, 0]                                 # (C, 1) mean(dy')
+    b = red_ref[0, 1]                                 # (C, 1) mean(dy'*xhat)
+    dx_ref[0] = (rstd * (dyp - a - xhat * b)).astype(dx_ref.dtype)
+
+
+def _forward_cw(x4, eps, act, interpret):
+    B, S, C, W = x4.shape
+    block, n_s = _grids_cw(S)
+    sums = pl.pallas_call(
+        functools.partial(_stats_kernel_cw, S=S, block=block),
+        grid=(B, n_s),
+        in_specs=[_row_spec_cw(block, C, W)],
+        out_specs=_sum_spec_cw(C, W),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C, W), jnp.float32),
+        interpret=interpret,
+    )(x4)
+    n = S * W
+    tot = jnp.sum(sums, axis=3)                       # (B, 2, C) — tiny
+    mean = tot[:, 0] / n
+    var = jnp.maximum(tot[:, 1] / n - mean * mean, 0.0)
+    stat = jnp.stack([mean, jax.lax.rsqrt(var + eps)],
+                     axis=1)[..., None]               # (B, 2, C, 1)
+    y = pl.pallas_call(
+        functools.partial(_apply_kernel_cw, act=act),
+        grid=(B, n_s),
+        in_specs=[_row_spec_cw(block, C, W), _stat_spec_cw(C)],
+        out_specs=_row_spec_cw(block, C, W),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
+        interpret=interpret,
+    )(x4, stat)
+    return y, stat
+
+
+def _backward_cw(x4, dy4, stat, act, interpret):
+    B, S, C, W = x4.shape
+    block, n_s = _grids_cw(S)
+    sums = pl.pallas_call(
+        functools.partial(_bwd_stats_kernel_cw, S=S, block=block, act=act),
+        grid=(B, n_s),
+        in_specs=[_row_spec_cw(block, C, W), _row_spec_cw(block, C, W),
+                  _stat_spec_cw(C)],
+        out_specs=_sum_spec_cw(C, W),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C, W), jnp.float32),
+        interpret=interpret,
+    )(x4, dy4, stat)
+    red = (jnp.sum(sums, axis=3) / (S * W))[..., None]  # (B, 2, C, 1) means
+    dx = pl.pallas_call(
+        functools.partial(_bwd_apply_kernel_cw, act=act),
+        grid=(B, n_s),
+        in_specs=[_row_spec_cw(block, C, W), _row_spec_cw(block, C, W),
+                  _stat_spec_cw(C), _stat_spec_cw(C)],
+        out_specs=_row_spec_cw(block, C, W),
+        out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
+        interpret=interpret,
+    )(x4, dy4, stat, red)
+    return dx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _instance_norm_act4_cw(x4, eps, act, interpret):
+    y, _ = _forward_cw(x4, eps, act, interpret)
+    return y
+
+
+def _inorm_cw_fwd(x4, eps, act, interpret):
+    y, stat = _forward_cw(x4, eps, act, interpret)
+    return y, (x4, stat)
+
+
+def _inorm_cw_bwd(eps, act, interpret, res, dy4):
+    x4, stat = res
+    return (_backward_cw(x4, dy4, stat, act, interpret),)
+
+
+_instance_norm_act4_cw.defvjp(_inorm_cw_fwd, _inorm_cw_bwd)
+
+
+def usable_cw(norm_kind, act) -> bool:
+    """Gate for the cw fused kernel: InstanceNorm + supported (or no) act.
+    Default ON (the caller already decided the stage runs in the lane-dense
+    cw layout, where the two-pass kernel is bandwidth-optimal);
+    CBIM_FUSED_NORM_CW=0 opts out.  No backend condition: off-TPU the kernel
+    runs in interpret mode, exercised by tests/test_fused_norm.py."""
+    import os
+    if norm_kind != "in" or not supported_act(act):
+        return False
+    return os.environ.get("CBIM_FUSED_NORM_CW", "1") != "0"
+
+
+def instance_norm_act_cw(x: jax.Array, eps: float = 1e-4,
+                         act: Optional[str] = None,
+                         interpret: Optional[bool] = None) -> jax.Array:
+    """Fused InstanceNorm (+ optional activation) in the NDHCW stage layout.
+
+    x: (B, D, H, C, W) — channels on the second-minor axis, W on lanes (see
+    ops/pallas/conv3d.py).  Same math as :func:`instance_norm_act` on the
+    transposed tensor: biased variance over (D, H, W), f32 statistics.
+    """
+    if not supported_act(act):
+        raise ValueError(f"unsupported act {act!r}")
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    x4 = x.reshape(B, D * H, C, W)
+    y4 = _instance_norm_act4_cw(x4, float(eps), act, bool(interpret))
+    return y4.reshape(x.shape)

@@ -78,3 +78,62 @@ def test_not_usable_on_cpu():
     # tests run on the CPU backend — the trainer must keep the unfused path
     assert not usable("in", "gelu")
     assert not usable("bn", None)
+
+
+# ------------------------------------------------------------ NDHCW variant
+
+def _ref_cw(x_cw, eps=1e-4, act=None):
+    """Reference: transpose to NDHWC, unfused math, transpose back."""
+    x = jnp.transpose(x_cw, (0, 1, 2, 4, 3))
+    y = _ref(x, eps=eps, act=act)
+    return jnp.transpose(y, (0, 1, 2, 4, 3))
+
+
+CW_CASES = [
+    ((2, 4, 6, 32, 16), "gelu"),    # full-res regime (C=32)
+    ((1, 2, 3, 8, 24), "relu"),
+    ((1, 5, 7, 16, 8), None),       # ragged: S=35 not a block multiple
+]
+
+
+@pytest.mark.parametrize("shape,act", CW_CASES)
+def test_cw_forward_matches_unfused(shape, act):
+    from cbim_tpu.ops.pallas.fused_norm import instance_norm_act_cw
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 2 + 0.3)
+    y = instance_norm_act_cw(x, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_ref_cw(x, act=act)),
+                               atol=5e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape,act", CW_CASES)
+def test_cw_grad_matches_unfused(shape, act):
+    from cbim_tpu.ops.pallas.fused_norm import instance_norm_act_cw
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def f_fused(x):
+        return jnp.sum(instance_norm_act_cw(x, act=act, interpret=True)
+                       .astype(jnp.float32) * g)
+
+    def f_ref(x):
+        return jnp.sum(_ref_cw(x, act=act).astype(jnp.float32) * g)
+
+    g1 = jax.grad(f_fused)(x)
+    g2 = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_cw_bf16_io_dtype_preserved():
+    from cbim_tpu.ops.pallas.fused_norm import instance_norm_act_cw
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 8, 16)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    y = instance_norm_act_cw(x, act="relu", interpret=True)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y.astype(jnp.float32)),
+        np.asarray(_ref_cw(x.astype(jnp.float32), act="relu")),
+        atol=0.05, rtol=0.05)
