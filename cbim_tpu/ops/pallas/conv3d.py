@@ -812,6 +812,139 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# cw2: transpose-free NDHCW forward
+# ---------------------------------------------------------------------------
+#
+# The _conv_kernel_cw relayout t = (C, W)->(W, C) is a lane<->sublane
+# transpose — the expensive relayout class (~3 ms of the ~8.7 ms C32 conv,
+# tools/probe_cw_dissect.py).  This variant keeps W on the lanes end to end:
+#
+#     partial[(kw, kh, f), (d, h~, w)] = sum_{kd, c}
+#         W2[(kw, kh, f), (kd, c)] * xs[(kd, c), (d, h~, w)]
+#
+# xs needs C moved above (d, h~) — a sublane<->outer swap (no lane
+# crossing).  The kh-fold is then three ALIGNED row-group adds with an
+# h~-slice, and the kw-fold is a +-1 lane roll with the first/last lane
+# masked to zero — which IS the SAME-conv w halo, so no w padding exists
+# anywhere.  The output [F, d, h, W] -> [d, h, F, W] write-back is another
+# sublane<->outer swap.  Same FLOPs and f32 accumulation as the cw kernel.
+
+def _pack_weights_cw2(w: jax.Array) -> jax.Array:
+    """w[3, 3, 3, C, F] (kd, kh, kw, c, f) -> W2[(kw, kh, f) = 9F, (kd, c) = 3C]."""
+    return jnp.transpose(w, (2, 1, 4, 0, 3)).reshape(-1, 3 * w.shape[3])
+
+
+def _conv_kernel_cw2(x_hbm, wp_ref, y_ref, xt_ref, sem, *,
+                     W: int, C: int, F: int, d_blk: int, h_blk: int):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
+
+    slot = jax.lax.rem(idx, 2)
+
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
+
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+
+    tile_io(slot, b, di, hi, "wait")
+
+    # xs[(kd c), (d h~ w)]: sublane<->outer swap, W stays on the lanes
+    xs = jnp.concatenate(
+        [jnp.transpose(xt_ref[slot, 0, kd:kd + d_blk], (2, 0, 1, 3))
+         for kd in range(3)], axis=0)
+    N = d_blk * (h_blk + 2) * W
+    partial = jnp.dot(wp_ref[:], xs.reshape(3 * C, N),
+                      preferred_element_type=jnp.float32)
+    p = partial.reshape(9, F, d_blk, h_blk + 2, W)
+
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (F, d_blk, h_blk, W), 3)
+    acc = jnp.zeros((F, d_blk, h_blk, W), jnp.float32)
+    for kw in range(3):
+        # aligned kh-fold for this kw: row-group select + h~ slice
+        t = (p[kw * 3 + 0, :, :, 0:h_blk]
+             + p[kw * 3 + 1, :, :, 1:1 + h_blk]
+             + p[kw * 3 + 2, :, :, 2:2 + h_blk])
+        if kw == 0:
+            # y[w] += t[w-1]: roll right, lane 0 takes the zero w-halo
+            acc = acc + jnp.where(lane == 0, 0.0, pltpu.roll(t, 1, 3))
+        elif kw == 2:
+            # y[w] += t[w+1]: roll left (= right by W-1), last lane takes
+            # the zero w-halo
+            acc = acc + jnp.where(lane == W - 1, 0.0, pltpu.roll(t, W - 1, 3))
+        else:
+            acc = acc + t
+    y_ref[0] = jnp.transpose(acc, (1, 2, 0, 3)).astype(y_ref.dtype)
+
+
+def conv3d_same_cw2(x: jax.Array, w: jax.Array,
+                    interpret: bool | None = None,
+                    d_blk: int = _D_BLK,
+                    h_blk: int | None = None) -> jax.Array:
+    """Transpose-free NDHCW stride-1 SAME 3^3 conv: x[B,D,H,C,W],
+    w[3,3,3,C,F] -> y[B,D,H,F,W].  Same math as conv3d_same_cw (f32
+    accumulation); verified by tests/test_pallas_conv.py."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = w.shape[-1]
+    assert w.shape == (3, 3, 3, C, F), (w.shape, x.shape)
+    if h_blk is None:
+        # f32 partial is 9F * d_blk * (h_blk+2) * W * 4B
+        h_blk = _H_BLK
+        for cand in (8, 4, 2):
+            if H % cand == 0 and 9 * F * d_blk * (cand + 2) * W * 4 <= 2 ** 22:
+                h_blk = cand
+                break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    wp = _pack_weights_cw2(w).astype(x.dtype)
+
+    kernel = functools.partial(
+        _conv_kernel_cw2, W=W, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec((9 * F, 3 * C), lambda b, d, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_blk, h_blk, F, W),
+                               lambda b, d, h: (b, d, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, F, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wp)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # layout movers: NDHWC <-> NDHCW
 # ---------------------------------------------------------------------------
 #

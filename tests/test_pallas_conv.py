@@ -189,3 +189,19 @@ def test_wgrad_kernel_matches_xla(pad_c):
     got = conv3d_wgrad(x, g, interpret=True, pad_c=pad_c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("shape,F", CASES)
+def test_cw2_matches_lax_conv(shape, F):
+    """Transpose-free NDHCW kernel: parity with the XLA conv."""
+    from cbim_tpu.ops.pallas.conv3d import conv3d_same_cw2
+
+    rng = np.random.default_rng(29)
+    C = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3))
+    y_cw = conv3d_same_cw2(x_cw, w, interpret=True)
+    y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
+                               atol=2e-5, rtol=2e-5)
