@@ -133,10 +133,14 @@ class _PallasConvCW(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ...ops.pallas.conv3d import conv3d_same_cw_t
+        import os
+        from ...ops.pallas.conv3d import conv3d_same_cw_t, conv3d_same_cw2_t
+        conv = (conv3d_same_cw2_t
+                if os.environ.get("CBIM_CW2", "0") == "1" else
+                conv3d_same_cw_t)
         kernel = self.param("kernel", torch_conv_init,
                             (3, 3, 3, x.shape[3], self.out_ch), jnp.float32)
-        y = conv3d_same_cw_t(x.astype(self.dtype), kernel.astype(self.dtype))
+        y = conv(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
                               jnp.float32)

@@ -985,3 +985,27 @@ def _conv3d_cw_t_bwd(res, g):
 
 
 conv3d_same_cw_t.defvjp(_conv3d_cw_t_fwd, _conv3d_cw_t_bwd)
+
+
+@jax.custom_vjp
+def conv3d_same_cw2_t(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Trainable transpose-free NDHCW conv: cw2 forward and dgrad (the cw2
+    kernel on the flip-swapped weights); wgrad stays on the cw wgrad kernel
+    (its contraction pairs x-lanes with g-lanes, so one operand must rotate
+    regardless — see _wgrad_kernel_cw)."""
+    return conv3d_same_cw2(x, w)
+
+
+def _conv3d_cw2_t_fwd(x, w):
+    return conv3d_same_cw2(x, w), (x, w)
+
+
+def _conv3d_cw2_t_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = conv3d_same_cw2(g, _flip_swap(w).astype(w.dtype))
+    dw = conv3d_wgrad_cw(x, g)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3d_same_cw2_t.defvjp(_conv3d_cw2_t_fwd, _conv3d_cw2_t_bwd)

@@ -205,3 +205,29 @@ def test_cw2_matches_lax_conv(shape, F):
     y = jnp.transpose(y_cw, (0, 1, 2, 4, 3))
     np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_cw2_custom_vjp_grads_match_xla():
+    from cbim_tpu.ops.pallas.conv3d import conv3d_same_cw2_t
+
+    rng = np.random.default_rng(31)
+    C, F = 8, 12
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    t = jnp.asarray(rng.normal(size=(2, 4, 8, 10, F)).astype(np.float32))
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3))
+    t_cw = jnp.transpose(t, (0, 1, 2, 4, 3))
+
+    def loss_pl(x_cw, w):
+        return jnp.sum((conv3d_same_cw2_t(x_cw, w) - t_cw) ** 2)
+
+    def loss_xla(x, w):
+        return jnp.sum((_xla_conv(x, w) - t) ** 2)
+
+    gx_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(x_cw, w)
+    gx_xla, gw_xla = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(gx_pl, (0, 1, 2, 4, 3))),
+        np.asarray(gx_xla), atol=2e-3, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_xla),
+                               atol=2e-3, rtol=2e-4)
