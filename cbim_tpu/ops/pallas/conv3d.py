@@ -187,7 +187,8 @@ def _zero_halo(xt_ref, slot, di, hi, n_d: int, n_h: int,
 
 def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
                  D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
-                 d_blk: int, h_blk: int, slice_k: bool, grouped: bool):
+                 d_blk: int, h_blk: int, slice_k: bool, grouped: bool,
+                 halo: bool = False):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -201,37 +202,70 @@ def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
     # the manual HBM DMA is alignment-legal; the HBM buffer is physically
     # 128-lane padded either way).  The overlap (halo) is why this is a
     # manual DMA instead of a BlockSpec.
-    def tile_dma(slot, b_, di_, hi_):
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
-                      pl.ds(hi_ * h_blk, h_blk + 2)],
-            xt_ref.at[slot], sem.at[slot])
-
+    #
+    # halo=True (lane-dense C only, C % 128 == 0): the operand is the
+    # UNPADDED tensor — the D/H halo comes from the edge-clamped DMA +
+    # border zeroing, and the W halo/alignment is padded per-view in VMEM.
+    # Kills the caller-side XLA pre-pad (a full HBM write+read per conv).
     slot = jax.lax.rem(idx, 2)
 
-    @pl.when(idx == 0)
-    def _():
-        tile_dma(0, b, di, hi).start()
+    if halo:
+        trail = (slice(None), slice(None))
 
-    # prefetch the next tile while this one computes
-    nxt = idx + 1
-    nb = nxt // (n_d * n_h)
-    nr = jax.lax.rem(nxt, n_d * n_h)
+        def tile_io(slot_, b_, di_, hi_, action, base=None):
+            _halo_tile_dma(xp_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d,
+                           n_h, d_blk, h_blk, trail, trail, action,
+                           base=base)
 
-    @pl.when(nxt < n_total)
-    def _():
-        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
-                 jax.lax.rem(nr, n_h)).start()
+        _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk,
+                   base=idx == 0)
+        tile_io(slot, b, di, hi, "start", base=idx == 0)
+        nxt = idx + 1
+        nb = nxt // (n_d * n_h)
+        nr = jax.lax.rem(nxt, n_d * n_h)
+        ndi = nr // n_h
+        nhi = jax.lax.rem(nr, n_h)
+        nslot = jax.lax.rem(nxt, 2)
+        _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+                   base=nxt < n_total)
+        tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+        tile_io(slot, b, di, hi, "wait")
+    else:
+        def tile_dma(slot, b_, di_, hi_):
+            return pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                          pl.ds(hi_ * h_blk, h_blk + 2)],
+                xt_ref.at[slot], sem.at[slot])
 
-    tile_dma(slot, b, di, hi).wait()
+        @pl.when(idx == 0)
+        def _():
+            tile_dma(0, b, di, hi).start()
+
+        # prefetch the next tile while this one computes
+        nxt = idx + 1
+        nb = nxt // (n_d * n_h)
+        nr = jax.lax.rem(nxt, n_d * n_h)
+
+        @pl.when(nxt < n_total)
+        def _():
+            tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                     jax.lax.rem(nr, n_h)).start()
+
+        tile_dma(slot, b, di, hi).wait()
 
     M = d_blk * (h_blk + 2) * Wp
     # X3: three d-shifted views stacked on the channel axis.
     # slice_k=True: lane-slice each view to the real C -> K = 3C (exact
     # FLOPs, pays a VMEM relayout).  False: keep padded lanes -> K = 3*Cp
     # (zero rows in the packed weights; more MXU work, no relayout).
-    views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
-             for kd in range(3)]
+    if halo:
+        views = [jnp.pad(xt_ref[slot, 0, kd:kd + d_blk],
+                         ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0))
+                         ).reshape(M, Cp)
+                 for kd in range(3)]
+    else:
+        views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
+                 for kd in range(3)]
     if slice_k:
         views = [v[:, :C] for v in views]
     x3 = jnp.concatenate(views, axis=1)
@@ -264,7 +298,8 @@ def _conv_kernel(xp_hbm, wp_ref, y_ref, xt_ref, sem, *,
 
 def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
                         d_blk: int = _D_BLK, h_blk: int = _H_BLK,
-                        slice_k: bool = True, pad_c: bool | None = None):
+                        slice_k: bool = True, pad_c: bool | None = None,
+                        halo: bool | None = None):
     B, D, H, W, C = x.shape
     F = w.shape[-1]
     assert w.shape == (3, 3, 3, C, F), w.shape
@@ -272,14 +307,24 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
 
     Wp = _round_up(W + 2, 8)
     # On a real TPU the manually-DMA'd HBM operand needs a 128-aligned minor
-    # dim, so C is padded to the lane tile.  Interpret mode has no such
-    # constraint and defaults to Cp=C, but tests force pad_c=True so the
-    # padded-lane arithmetic (slice_k lane slicing, zero-row weight padding)
-    # is covered without hardware.
+    # dim.  halo mode (lane-dense C, C % 128 == 0) skips the caller-side
+    # pre-pad entirely: D/H halo from the edge-clamped DMA, W halo padded in
+    # VMEM.  Otherwise C is padded to the lane tile by the XLA pre-pad.
+    # Interpret mode has no alignment constraint and defaults to Cp=C, but
+    # tests force pad_c=True / halo=True so both arithmetics are covered
+    # without hardware.
+    if halo is None:
+        halo = C % 128 == 0
+    if halo:
+        pad_c = False
     if pad_c is None:
         pad_c = not interpret
     Cp = _round_up(C, 128) if pad_c else C
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
+    if halo:
+        xp = x
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1),
+                         (0, Cp - C)))
     grouped = _use_grouped(F)
     n_w = 3 * _grp_g(F) if grouped else 9 * F
     wp = (_pack_weights_grouped(w) if grouped else _pack_weights(w)
@@ -292,8 +337,10 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
 
     kernel = functools.partial(
         _conv_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
-        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped)
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped,
+        halo=halo)
 
+    scratch_w = W if halo else Wp
     y = pl.pallas_call(
         kernel,
         grid=(B, D // d_blk, H // h_blk),
@@ -307,7 +354,7 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W, F), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, Wp, Cp), x.dtype),
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, scratch_w, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -443,7 +490,8 @@ def _unpack_dw_grouped(dwp: jax.Array, C: int, F: int) -> jax.Array:
 
 def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
                   D: int, H: int, W: int, Wp: int, C: int, Cp: int, F: int,
-                  d_blk: int, h_blk: int, slice_k: bool, grouped: bool):
+                  d_blk: int, h_blk: int, slice_k: bool, grouped: bool,
+                  halo: bool = False):
     b = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -452,32 +500,60 @@ def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
     n_total = pl.num_programs(0) * n_d * n_h
     idx = (b * n_d + di) * n_h + hi
 
-    def tile_dma(slot, b_, di_, hi_):
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
-                      pl.ds(hi_ * h_blk, h_blk + 2)],
-            xt_ref.at[slot], sem.at[slot])
-
     slot = jax.lax.rem(idx, 2)
 
-    @pl.when(idx == 0)
-    def _():
-        tile_dma(0, b, di, hi).start()
+    if halo:
+        trail = (slice(None), slice(None))
 
-    nxt = idx + 1
-    nb = nxt // (n_d * n_h)
-    nr = jax.lax.rem(nxt, n_d * n_h)
+        def tile_io(slot_, b_, di_, hi_, action, base=None):
+            _halo_tile_dma(xp_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d,
+                           n_h, d_blk, h_blk, trail, trail, action,
+                           base=base)
 
-    @pl.when(nxt < n_total)
-    def _():
-        tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
-                 jax.lax.rem(nr, n_h)).start()
+        _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk,
+                   base=idx == 0)
+        tile_io(slot, b, di, hi, "start", base=idx == 0)
+        nxt = idx + 1
+        nb = nxt // (n_d * n_h)
+        nr = jax.lax.rem(nxt, n_d * n_h)
+        ndi = nr // n_h
+        nhi = jax.lax.rem(nr, n_h)
+        nslot = jax.lax.rem(nxt, 2)
+        _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+                   base=nxt < n_total)
+        tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+        tile_io(slot, b, di, hi, "wait")
+    else:
+        def tile_dma(slot, b_, di_, hi_):
+            return pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(b_, 1), pl.ds(di_ * d_blk, d_blk + 2),
+                          pl.ds(hi_ * h_blk, h_blk + 2)],
+                xt_ref.at[slot], sem.at[slot])
 
-    tile_dma(slot, b, di, hi).wait()
+        @pl.when(idx == 0)
+        def _():
+            tile_dma(0, b, di, hi).start()
+
+        nxt = idx + 1
+        nb = nxt // (n_d * n_h)
+        nr = jax.lax.rem(nxt, n_d * n_h)
+
+        @pl.when(nxt < n_total)
+        def _():
+            tile_dma(jax.lax.rem(nxt, 2), nb, nr // n_h,
+                     jax.lax.rem(nr, n_h)).start()
+
+        tile_dma(slot, b, di, hi).wait()
 
     M = d_blk * (h_blk + 2) * Wp
-    views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
-             for kd in range(3)]
+    if halo:
+        views = [jnp.pad(xt_ref[slot, 0, kd:kd + d_blk],
+                         ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0))
+                         ).reshape(M, Cp)
+                 for kd in range(3)]
+    else:
+        views = [xt_ref[slot, 0, kd:kd + d_blk].reshape(M, Cp)
+                 for kd in range(3)]
     if slice_k:
         views = [v[:, :C] for v in views]
     x3 = jnp.concatenate(views, axis=1)                  # [M, 3C']
@@ -499,7 +575,8 @@ def _wgrad_kernel(xp_hbm, g_ref, dw_ref, xt_ref, sem, *,
 def conv3d_wgrad(x: jax.Array, g: jax.Array,
                  interpret: bool | None = None,
                  d_blk: int = _D_BLK, h_blk: int | None = None,
-                 pad_c: bool | None = None) -> jax.Array:
+                 pad_c: bool | None = None,
+                 halo: bool | None = None) -> jax.Array:
     """Weight gradient of the stride-1 SAME 3^3 conv: x[B,D,H,W,C],
     g[B,D,H,W,F] -> dW[3,3,3,C,F] (f32).  Exact parity with the transpose
     rule of lax.conv_general_dilated up to f32 accumulation order."""
@@ -522,19 +599,29 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
     assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
 
     Wp = _round_up(W + 2, 8)
+    if halo is None:
+        halo = C % 128 == 0      # lane-dense: skip the pre-pad (see fwd)
+    if halo:
+        pad_c = False
     if pad_c is None:
         pad_c = not interpret
     Cp = _round_up(C, 128) if pad_c else C
     slice_k = os.environ.get("CBIM_PLCONV_SLICEK", "1") == "1"
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1), (0, Cp - C)))
+    if halo:
+        xp = x
+    else:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, Wp - W - 1),
+                         (0, Cp - C)))
     k_dim = 3 * C if slice_k else 3 * Cp
     grouped = _use_grouped(F) and C <= 64
     n_w = 3 * _grp_g(F) if grouped else 9 * F
 
     kernel = functools.partial(
         _wgrad_kernel, D=D, H=H, W=W, Wp=Wp, C=C, Cp=Cp, F=F,
-        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped)
+        d_blk=d_blk, h_blk=h_blk, slice_k=slice_k, grouped=grouped,
+        halo=halo)
 
+    scratch_w = W if halo else Wp
     dwp = pl.pallas_call(
         kernel,
         grid=(B, D // d_blk, H // h_blk),
@@ -548,7 +635,7 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_dim, n_w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, Wp, Cp), x.dtype),
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, scratch_w, Cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

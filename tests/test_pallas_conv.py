@@ -231,3 +231,32 @@ def test_cw2_custom_vjp_grads_match_xla():
         np.asarray(gx_xla), atol=2e-3, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_xla),
                                atol=2e-3, rtol=2e-4)
+
+
+@pytest.mark.parametrize("shape,F", CASES)
+def test_halo_ndhwc_matches_lax_conv(shape, F):
+    """NDHWC halo mode (no caller pre-pad; used when C % 128 == 0)."""
+    from cbim_tpu.ops.pallas.conv3d import _conv3d_same_pallas
+
+    rng = np.random.default_rng(37)
+    C = shape[-1]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    y = _conv3d_same_pallas(x, w, interpret=True, halo=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_xla_conv(x, w)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_halo_ndhwc_wgrad_matches_xla():
+    from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad
+
+    rng = np.random.default_rng(41)
+    C, F = 8, 12
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 10, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.normal(size=(2, 4, 8, 10, F)).astype(np.float32))
+    dw = conv3d_wgrad(x, g, interpret=True, halo=True)
+    _, vjp = jax.vjp(lambda wt: _xla_conv(x, wt), w)
+    dw_ref, = vjp(g)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               atol=2e-4, rtol=2e-4)
