@@ -80,7 +80,7 @@ class Norm(nn.Module):
             # torch InstanceNorm default: affine=False, no running stats,
             # biased variance over spatial dims per sample/channel.
             from ...ops.pallas import fused_norm
-            if not self.cw and fused_norm.usable("in", None):
+            if not self.cw and fused_norm.usable("in", None, x.shape[-1]):
                 # bandwidth-optimal Pallas lowering on TPU (2 reads + 1 write;
                 # the XLA lowering materializes/transposes f32 intermediates)
                 return fused_norm.instance_norm_act(x, eps=self.eps, act=None)
@@ -284,7 +284,8 @@ class ConvNormAct(nn.Module):
         # the dim2 twin relies on the torch default 1e-5
         eps = 1e-4 if nd == 3 else 1e-5
         from ...ops.pallas import fused_norm
-        if not self.cw and fused_norm.usable(self.norm, self.act):
+        norm_c = x.shape[-1] if self.preact else self.out_ch
+        if not self.cw and fused_norm.usable(self.norm, self.act, norm_c):
             # one fused InstanceNorm+act kernel instead of norm -> act
             if self.preact:
                 return conv(fused_norm.instance_norm_act(x, eps=eps,

@@ -86,23 +86,30 @@ def supported_act(act) -> bool:
     return act in (None, "none", False, "relu", "gelu")
 
 
-def usable(norm_kind, act) -> bool:
+def usable(norm_kind, act, C: Optional[int] = None) -> bool:
     """True when the fused kernel should replace the XLA norm(+act) lowering:
-    InstanceNorm, a supported (or no) activation, a real TPU backend, and
-    CBIM_FUSED_NORM=1.
+    InstanceNorm, a supported (or no) activation, a real TPU backend, and —
+    unless CBIM_FUSED_NORM=1 forces it everywhere — a lane-dense channel
+    count (C % 128 == 0, e.g. the PatchMerging norms: merged C is 128-1024
+    across the MedFormer stages).
 
-    Opt-in for now: with C in the lane dimension, a (block, C=32) tile wastes
-    3/4 of the 128 lanes in both VMEM and HBM tiling, and the measured kernel
-    is HBM-bound at ~63 GB/s effective (tools/probe_bandwidth.py) — no faster
-    than the XLA lowering it replaces.  The lane-dense variant (process the
-    same bytes as (B, S*C/128, 128) blocks and fold stats per channel) is the
-    planned default-on version.  On CPU the kernel only runs in interpret
-    mode (slow), so the unfused path always stays the default there — which
-    also keeps the CPU parity suite exercising the reference lowering."""
+    At C=32 a (block, C) tile wastes 3/4 of the 128 lanes in both VMEM and
+    HBM tiling and the measured kernel is HBM-bound at ~63 GB/s effective
+    (tools/probe_bandwidth.py) — no faster than the XLA lowering it
+    replaces — so narrow-C stays opt-in (the cw variant below covers the
+    full-res stages instead).  A side benefit at lane-dense C: dx returns in
+    x.dtype, keeping the surrounding backward (e.g. the space-to-depth
+    transpose) in bf16 instead of the f32 the unfused lowering forces.  On
+    CPU the kernel only runs in interpret mode (slow), so the unfused path
+    stays the default there — which also keeps the CPU parity suite
+    exercising the reference lowering."""
     import os
     if norm_kind != "in" or not supported_act(act):
         return False
-    if os.environ.get("CBIM_FUSED_NORM", "0") != "1":
+    forced = os.environ.get("CBIM_FUSED_NORM", "")
+    if forced == "0":
+        return False
+    if forced != "1" and not (C is not None and C % 128 == 0):
         return False
     from .._backend import is_tpu_backend
     return is_tpu_backend()
