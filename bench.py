@@ -104,7 +104,27 @@ def run(batch_size: int, warmup: int = 2, iters: int = 20):
     return batch_size * iters / dt
 
 
+def _check_backend_reachable(timeout_s: float = 600.0) -> None:
+    """Fail loudly (instead of hanging forever) when the TPU tunnel is
+    wedged: backend init is probed in a subprocess with a timeout.  A
+    healthy tunneled backend connects in ~2 min; a lost remote grant hangs
+    the claim loop indefinitely, which would otherwise stall the caller."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench failed: backend init did not complete in {timeout_s:.0f}s "
+            "(TPU tunnel unreachable)")
+    if out.returncode != 0:
+        raise SystemExit("bench failed: backend init error:\n"
+                         + out.stderr.decode()[-2000:])
+
+
 def main():
+    _check_backend_reachable()
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "2,1").split(",")]
     value = None
     last_err = None
