@@ -1074,12 +1074,133 @@ def _conv3d_cw_t_bwd(res, g):
 conv3d_same_cw_t.defvjp(_conv3d_cw_t_fwd, _conv3d_cw_t_bwd)
 
 
+# ------------------------------------------------------------- cw2 wgrad
+#
+# Same transpose-free discipline for the weight gradient.  The contraction
+# pairs x-lanes with g-lanes, so instead of rotating one operand (the cw
+# wgrad's C<->W transpose), contract the W lanes directly with a BATCHED
+# dot over the (d, h~) rows:
+#
+#     dW2[(kw, kh, f), (kd, c)] = sum_{(d, h~)}  g9[(d, h~), (kw, kh, f), :W]
+#                                              @ xs[(d, h~), (kd, c),     :W]^T
+#
+# xs is just the kd-concat of tile views (C stays on sublanes); g9 places g
+# into the h~ frame at offset kh (outer-dim pads) and handles kw by the
+# same +-1 lane roll + boundary mask as the cw2 forward.
+
+def _wgrad_kernel_cw2(x_hbm, g_ref, dw_ref, xt_ref, sem, *,
+                      W: int, C: int, F: int, d_blk: int, h_blk: int):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
+
+    slot = jax.lax.rem(idx, 2)
+
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+    tile_io(slot, b, di, hi, "wait")
+
+    Bt = d_blk * (h_blk + 2)
+    # xs[(d, h~), (kd c), w]: pure views + concat, no relayout
+    xs = jnp.concatenate(
+        [xt_ref[slot, 0, kd:kd + d_blk] for kd in range(3)],
+        axis=2).reshape(Bt, 3 * C, W)
+
+    g = g_ref[0]                                   # [d, h, F, W]
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 3)
+    # g'_kw[w] = g[w - kw + 1] with zeros rolled in at the w boundary
+    gk = [jnp.where(lane == W - 1, 0.0, pltpu.roll(g, W - 1, 3)),   # kw=0
+          g,                                                        # kw=1
+          jnp.where(lane == 0, 0.0, pltpu.roll(g, 1, 3))]           # kw=2
+    g9 = jnp.concatenate(
+        [jnp.pad(gk[kw], ((0, 0), (kh, 2 - kh), (0, 0), (0, 0)))
+         for kw in range(3) for kh in range(3)],
+        axis=2).reshape(Bt, 9 * F, W)
+
+    part = jax.lax.dot_general(g9, xs, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    dw = jnp.sum(part, axis=0)                     # [9F, 3C]
+
+    @pl.when(idx == 0)
+    def _():
+        dw_ref[:] = dw
+
+    @pl.when(idx > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+
+
+def conv3d_wgrad_cw2(x: jax.Array, g: jax.Array,
+                     interpret: bool | None = None,
+                     d_blk: int = _D_BLK,
+                     h_blk: int | None = None) -> jax.Array:
+    """Transpose-free NDHCW weight gradient: x[B,D,H,C,W], g[B,D,H,F,W]
+    -> dW[3,3,3,C,F] (f32)."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = g.shape[3]
+    assert g.shape == (B, D, H, F, W), (g.shape, x.shape)
+    if h_blk is None:
+        h_blk = _H_BLK
+        # g9 frame is 9F * d_blk * (h_blk+2) * W in g.dtype
+        if F > 64:
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    kernel = functools.partial(
+        _wgrad_kernel_cw2, W=W, C=C, F=F, d_blk=d_blk, h_blk=h_blk)
+
+    dwp = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, d_blk, h_blk, F, W),
+                         lambda b, d, h: (b, d, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * F, 3 * C), lambda b, d, h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * F, 3 * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, g)
+    # rows (kw, kh, f), cols (kd, c) -> dW[kd, kh, kw, c, f]
+    dw = dwp.reshape(3, 3, F, 3, C).transpose(3, 1, 0, 4, 2)
+    return dw
+
+
 @jax.custom_vjp
 def conv3d_same_cw2_t(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Trainable transpose-free NDHCW conv: cw2 forward and dgrad (the cw2
-    kernel on the flip-swapped weights); wgrad stays on the cw wgrad kernel
-    (its contraction pairs x-lanes with g-lanes, so one operand must rotate
-    regardless — see _wgrad_kernel_cw)."""
+    """Trainable transpose-free NDHCW conv: cw2 forward, dgrad (the cw2
+    kernel on the flip-swapped weights) and the batched-dot cw2 wgrad."""
     return conv3d_same_cw2(x, w)
 
 
@@ -1091,7 +1212,7 @@ def _conv3d_cw2_t_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
     dx = conv3d_same_cw2(g, _flip_swap(w).astype(w.dtype))
-    dw = conv3d_wgrad_cw(x, g)
+    dw = conv3d_wgrad_cw2(x, g)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 

@@ -260,3 +260,21 @@ def test_halo_ndhwc_wgrad_matches_xla():
     dw_ref, = vjp(g)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_cw2_wgrad_matches_xla():
+    from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad_cw2
+
+    rng = np.random.default_rng(43)
+    for (B, D, H, W, C, F) in [(2, 4, 8, 10, 8, 12), (1, 2, 8, 16, 16, 8)]:
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)
+                        * 0.2)
+        g = jnp.asarray(rng.normal(size=(B, D, H, W, F)).astype(np.float32))
+        dw = conv3d_wgrad_cw2(jnp.transpose(x, (0, 1, 2, 4, 3)),
+                              jnp.transpose(g, (0, 1, 2, 4, 3)),
+                              interpret=True)
+        _, vjp = jax.vjp(lambda wt: _xla_conv(x, wt), w)
+        dw_ref, = vjp(g)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   atol=2e-4, rtol=2e-4)
