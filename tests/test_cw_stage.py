@@ -97,3 +97,32 @@ def test_medformer_stage_cw_gate(monkeypatch):
     np.testing.assert_allclose(np.asarray(y_cw), np.asarray(y_plain),
                                atol=5e-5, rtol=5e-5)
     monkeypatch.setattr(mf, "_stage_cw_ok", real_gate)
+
+
+def test_cw2_block_matches_plain(monkeypatch):
+    """CBIM_CW2=1 routes _PallasConvCW through the transpose-free kernels;
+    outputs and grads must match the channels-last path."""
+    monkeypatch.setenv("CBIM_CW2", "1")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 16, 8)).astype(np.float32))
+    m_plain = BasicBlock(8, norm="in", act="relu", cw=False)
+    m_cw = BasicBlock(8, norm="in", act="relu", cw=True)
+    params = m_plain.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+
+    y_plain = m_plain.apply({"params": params}, x)
+    x_cw = jnp.transpose(x, (0, 1, 2, 4, 3))
+    y_cw = jnp.transpose(m_cw.apply({"params": params}, x_cw),
+                         (0, 1, 2, 4, 3))
+    np.testing.assert_allclose(np.asarray(y_cw), np.asarray(y_plain),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_plain(p):
+        return jnp.sum(m_plain.apply({"params": p}, x) ** 2)
+
+    def loss_cw(p):
+        return jnp.sum(m_cw.apply({"params": p}, x_cw) ** 2)
+
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_plain)(params))
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_cw)(params))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-3, rtol=2e-3)
