@@ -221,6 +221,8 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
             logging.info("Dice: %.4f / Best Dice: %.4f",
                          np.nanmean(dice), best_mean)
 
+    from .checkpoint import wait_pending
+    wait_pending()          # flush the async ckpt writer before fold teardown
     writer.close()
     return best_dice, best_hd, best_asd
 

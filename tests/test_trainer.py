@@ -166,3 +166,34 @@ def test_sliding_window_matches_numpy_oracle():
             cnt[sl] += 1.0
         ref = (acc / cnt)[: shape[0], : shape[1], : shape[2]]
         np.testing.assert_allclose(got[0], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async save (background serialize+write) then load restores exactly;
+    load joins the in-flight writer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.models.layers.convs import SingleConv
+    from cbim_tpu.training.checkpoint import (load_checkpoint,
+                                              save_checkpoint, wait_pending)
+    from cbim_tpu.training.train_state import create_train_state
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="2d", classes=2,
+        weight=[1, 1], rlt=1, optimizer="adamw", base_lr=1e-3,
+        betas=[0.9, 0.999], weight_decay=0.01, ema=True, ema_alpha=0.99))
+    model = SingleConv(4, norm="in", act="relu")
+    x = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, epoch=3)          # async by default
+    # immediately load: must join the writer, not read a torn file
+    restored, start = load_checkpoint(path, state)
+    assert start == 3
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    wait_pending()                                  # idempotent
