@@ -314,7 +314,10 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
     # tests force pad_c=True / halo=True so both arithmetics are covered
     # without hardware.
     if halo is None:
-        halo = C % 128 == 0
+        # opt-in until the on-device Mosaic compile is verified (the cw
+        # kernels' halo DMA is device-proven, this kernel context is not)
+        import os as _os2
+        halo = C % 128 == 0 and _os2.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:
@@ -600,7 +603,8 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 
     Wp = _round_up(W + 2, 8)
     if halo is None:
-        halo = C % 128 == 0      # lane-dense: skip the pre-pad (see fwd)
+        # lane-dense: skip the pre-pad (see fwd); opt-in until verified
+        halo = C % 128 == 0 and os.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:

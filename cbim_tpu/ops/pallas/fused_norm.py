@@ -107,9 +107,12 @@ def usable(norm_kind, act, C: Optional[int] = None) -> bool:
     if norm_kind != "in" or not supported_act(act):
         return False
     forced = os.environ.get("CBIM_FUSED_NORM", "")
-    if forced == "0":
-        return False
-    if forced != "1" and not (C is not None and C % 128 == 0):
+    if forced == "1":
+        pass                       # force everywhere
+    elif forced == "lane" and C is not None and C % 128 == 0:
+        pass                       # lane-dense sites only (planned default
+        #                            once verified on device post-outage)
+    else:
         return False
     from .._backend import is_tpu_backend
     return is_tpu_backend()
@@ -485,14 +488,16 @@ _instance_norm_act4_cw.defvjp(_inorm_cw_fwd, _inorm_cw_bwd)
 
 def usable_cw(norm_kind, act) -> bool:
     """Gate for the cw fused kernel: InstanceNorm + supported (or no) act.
-    Default ON (the caller already decided the stage runs in the lane-dense
-    cw layout, where the two-pass kernel is bandwidth-optimal);
-    CBIM_FUSED_NORM_CW=0 opts out.  No backend condition: off-TPU the kernel
+    OPT-IN for now (CBIM_FUSED_NORM_CW=1): the kernel is interpret-parity
+    tested but a TPU-tunnel outage prevented the on-device Mosaic compile
+    from being verified this round — and an unverified default in the
+    benched graph risks a compile hang with no perf number at all.  Flip
+    the default once measured.  No backend condition: off-TPU the kernel
     runs in interpret mode, exercised by tests/test_fused_norm.py."""
     import os
     if norm_kind != "in" or not supported_act(act):
         return False
-    return os.environ.get("CBIM_FUSED_NORM_CW", "1") != "0"
+    return os.environ.get("CBIM_FUSED_NORM_CW", "0") == "1"
 
 
 def instance_norm_act_cw(x: jax.Array, eps: float = 1e-4,
