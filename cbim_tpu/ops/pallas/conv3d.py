@@ -348,7 +348,7 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # xp stays in HBM
             pl.BlockSpec((k_dim, n_w), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -630,7 +630,7 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # xp stays in HBM
             pl.BlockSpec((1, d_blk, h_blk, W, F),
                          lambda b, d, h: (b, d, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -777,7 +777,7 @@ def conv3d_same_cw(x: jax.Array, w: jax.Array,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # xp stays in HBM
             pl.BlockSpec((3 * C, n_w), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -881,7 +881,7 @@ def conv3d_wgrad_cw(x: jax.Array, g: jax.Array,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, d_blk, h_blk, F, W),
                          lambda b, d, h: (b, d, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1018,7 +1018,7 @@ def conv3d_same_cw2(x: jax.Array, w: jax.Array,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec((9 * F, 3 * C), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1182,7 +1182,7 @@ def conv3d_wgrad_cw2(x: jax.Array, g: jax.Array,
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, d_blk, h_blk, F, W),
                          lambda b, d, h: (b, d, h, 0, 0),
                          memory_space=pltpu.VMEM),

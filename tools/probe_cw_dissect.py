@@ -178,7 +178,7 @@ def build(x, w, phase, d_blk=2, h_blk=8):
         kernel,
         grid=(B, D // d_blk, H // h_blk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3 * C, n_w), lambda b, d, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
