@@ -199,6 +199,45 @@ def _stage_cw_ok(x, norm, kernel_size, force: bool = False) -> bool:
     return True
 
 
+class _PallasConv3x3_2D(nn.Module):
+    """2D twin of _PallasConv3x3: nn.Conv(3x3, stride 1, SAME) via the
+    tap-packed conv2d kernels (ops/pallas/conv2d.py).  Same parameter tree
+    as nn.Conv."""
+    out_ch: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.pallas.conv2d import conv2d_same_t
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, x.shape[-1], self.out_ch), jnp.float32)
+        y = conv2d_same_t(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _pallas_conv2d_usable(x, nd, k, s, d, p, groups, out_ch) -> bool:
+    """Dispatch gate for the tap-packed 2D conv.  OPT-IN (CBIM_PLCONV2D=1):
+    interpret-parity tested but not yet measured on a real TPU."""
+    import os
+    if os.environ.get("CBIM_PLCONV2D") != "1":
+        return False
+    if nd != 2 or k != (3, 3) or s != (1, 1) or d != (1, 1) \
+            or p != (1, 1) or groups != 1:
+        return False
+    if x.shape[-1] > 192 or out_ch > 192:
+        return False
+    B, H, W, _ = x.shape
+    if H % 8 or W % 8:
+        return False
+    from ...ops._backend import is_tpu_backend
+    return is_tpu_backend()
+
+
 def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     """Pallas conv dispatch: 3D, 3^3/stride-1/SAME, channel widths within the
     kernel's VMEM budget, tile divisibility, TPU backend.  Default ON (the
@@ -274,6 +313,10 @@ class ConvNormAct(nn.Module):
             # with the XLA path (docs/benchmarks.md for measured wins)
             conv = _PallasConv3x3(self.out_ch, use_bias=self.use_bias,
                                   dtype=self.dtype, name="Conv_0")
+        elif _pallas_conv2d_usable(x, nd, k, s, d, p, self.groups,
+                                   self.out_ch):
+            conv = _PallasConv3x3_2D(self.out_ch, use_bias=self.use_bias,
+                                     dtype=self.dtype, name="Conv_0")
         else:
             conv = nn.Conv(self.out_ch, kernel_size=k, strides=s,
                            padding=[(pi, pi) for pi in p], kernel_dilation=d,
