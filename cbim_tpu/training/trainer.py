@@ -201,7 +201,8 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         writer.add_scalar("LR", lr, epoch + 1)
 
         save_checkpoint(os.path.join(ckpt_dir, f"fold_{fold_idx}_latest.ckpt"),
-                        state, epoch + 1)
+                        state, epoch + 1,
+                        backend=getattr(cfg, "ckpt_backend", "msgpack"))
 
         if (epoch + 1) % cfg.val_freq == 0:
             variables = eval_variables(state, cfg.ema)
@@ -216,7 +217,9 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                 best_asd = asd
                 save_checkpoint(os.path.join(ckpt_dir,
                                              f"fold_{fold_idx}_best.ckpt"),
-                                state, epoch + 1)
+                                state, epoch + 1,
+                                backend=getattr(cfg, "ckpt_backend",
+                                                "msgpack"))
             logging.info("Evaluation Done")
             logging.info("Dice: %.4f / Best Dice: %.4f",
                          np.nanmean(dice), best_mean)
