@@ -30,11 +30,21 @@ def _sync(x):
     np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
 
+FAILED = []
+
+
 def step(name, fn):
     t0 = time.time()
     print(f"[{name}] compiling...", flush=True)
-    out = fn()
-    _sync(out)
+    try:
+        out = fn()
+        _sync(out)
+    except Exception as e:
+        FAILED.append(name)
+        msg = str(e).splitlines()
+        print(f"[{name}] FAILED ({time.time() - t0:.1f}s): "
+              f"{msg[0] if msg else e!r}", flush=True)
+        return None
     print(f"[{name}] OK ({time.time() - t0:.1f}s)", flush=True)
     return out
 
@@ -99,30 +109,42 @@ def main():
         lambda xx, ww: jnp.sum(conv2d_same_t(xx, ww).astype(jnp.float32)
                                ** 2), argnums=(0, 1))(x2, w2))
 
-    print("\nall kernels compiled and ran.  big-shape timings:", flush=True)
+    print(f"\nsmall-shape pass done (failed: {FAILED or 'none'}). "
+          "big-shape timings:", flush=True)
 
     big_cw = jnp.asarray(rng.normal(size=(2, 128, 128, 32, 128))).astype(bf)
+
+    def timing(name, fn):
+        try:
+            print(f"  {name}: {fn()}", flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()
+            print(f"  {name}: FAILED: {msg[0] if msg else e!r}", flush=True)
+
     f_norm = jax.jit(lambda t: fused_norm.instance_norm_act_cw(t, act="gelu"))
-    print(f"  cw norm fw (2,128^3,32): {timeit(f_norm, big_cw):.2f} ms "
-          "(XLA fusions were ~8 ms/layer fw)", flush=True)
+    timing("cw norm fw (2,128^3,32) [XLA was ~8 ms/layer fw]",
+           lambda: f"{timeit(f_norm, big_cw):.2f} ms")
 
     f_cw = jax.jit(conv3d_same_cw)
     f_cw2 = jax.jit(conv3d_same_cw2)
     wb = (jnp.asarray(rng.normal(size=(3, 3, 3, 32, 32))) * 0.1).astype(bf)
-    y1 = f_cw(big_cw, wb)
-    y2 = f_cw2(big_cw, wb)
-    err = float(jnp.max(jnp.abs(y1.astype(jnp.float32)
-                                - y2.astype(jnp.float32))))
-    print(f"  cw vs cw2 (2,128^3,C32->F32): {timeit(f_cw, big_cw, wb):.2f} "
-          f"vs {timeit(f_cw2, big_cw, wb):.2f} ms  max|d|={err:.2e}",
-          flush=True)
+
+    def cw_vs_cw2():
+        y1 = f_cw(big_cw, wb)
+        y2 = f_cw2(big_cw, wb)
+        err = float(jnp.max(jnp.abs(y1.astype(jnp.float32)
+                                    - y2.astype(jnp.float32))))
+        return (f"{timeit(f_cw, big_cw, wb):.2f} vs "
+                f"{timeit(f_cw2, big_cw, wb):.2f} ms  max|d|={err:.2e}")
+
+    timing("cw vs cw2 fw (2,128^3,C32->F32)", cw_vs_cw2)
 
     gb = jnp.asarray(rng.normal(size=(2, 128, 128, 32, 128))).astype(bf)
     from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad_cw
     f_wg = jax.jit(conv3d_wgrad_cw)
     f_wg2 = jax.jit(conv3d_wgrad_cw2)
-    print(f"  wgrad cw vs cw2: {timeit(f_wg, big_cw, gb):.2f} vs "
-          f"{timeit(f_wg2, big_cw, gb):.2f} ms", flush=True)
+    timing("wgrad cw", lambda: f"{timeit(f_wg, big_cw, gb):.2f} ms")
+    timing("wgrad cw2", lambda: f"{timeit(f_wg2, big_cw, gb):.2f} ms")
 
 
 if __name__ == "__main__":
