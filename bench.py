@@ -134,6 +134,9 @@ def main():
             break
         except Exception as e:  # OOM fallback to a smaller batch
             last_err = e
+            print(f"[bench] batch={b} failed, falling back: "
+                  f"{str(e).splitlines()[0] if str(e) else e!r}",
+                  file=sys.stderr, flush=True)
             continue
     if value is None:
         raise SystemExit(f"bench failed: {last_err}")

@@ -191,7 +191,13 @@ def _bwd_apply_kernel(x_ref, dy_ref, mean_ref, rstd_ref, red_ref, dx_ref,
 
 # ------------------------------------------------------------------ driver
 def _grids(B: int, S: int, C: int):
-    block = min(_BLOCK, max(8, S))
+    # VMEM-scoped budget: the apply/bwd kernels hold the bf16 in/out tiles
+    # (double-buffered) plus several f32 upcast temps of the full tile, so
+    # the per-block footprint is ~12 bytes/element.  A fixed 2048-row block
+    # at C=512 allocates 24 MB of stack and Mosaic rejects it (16 MB scoped
+    # limit, hit at MedFormer down2 MBConv) — shrink the block as C grows.
+    budget_rows = (6 * 2 ** 20) // (C * 12)
+    block = min(_BLOCK, max(8, budget_rows // 8 * 8), max(8, S))
     n_s = pl.cdiv(S, block)
     return block, n_s
 
@@ -488,12 +494,14 @@ _instance_norm_act4_cw.defvjp(_inorm_cw_fwd, _inorm_cw_bwd)
 
 def usable_cw(norm_kind, act) -> bool:
     """Gate for the cw fused kernel: InstanceNorm + supported (or no) act.
-    OPT-IN for now (CBIM_FUSED_NORM_CW=1): the kernel is interpret-parity
-    tested but a TPU-tunnel outage prevented the on-device Mosaic compile
-    from being verified this round — and an unverified default in the
-    benched graph risks a compile hang with no perf number at all.  Flip
-    the default once measured.  No backend condition: off-TPU the kernel
-    runs in interpret mode, exercised by tests/test_fused_norm.py."""
+    OPT-IN (CBIM_FUSED_NORM_CW=1), and measured SLOWER at step level: the
+    v2 kernel compiles and runs on device (standalone fw 7.4 ms vs ~8 ms
+    for the XLA fusions it replaces, tools/probe_newkernels.py) but the
+    full MedFormer-128^3 train step regresses 2.553 -> 2.394 vols/s/chip
+    with it on — XLA fuses the unfused norm's elementwise tail into the
+    neighboring ops, which the kernel boundary forfeits.  Kept for shapes
+    where the XLA lowering misbehaves.  No backend condition: off-TPU the
+    kernel runs in interpret mode, exercised by tests/test_fused_norm.py."""
     import os
     if norm_kind != "in" or not supported_act(act):
         return False
