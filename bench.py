@@ -129,15 +129,22 @@ def main():
     value = None
     last_err = None
     for b in batches:
-        try:
-            value = run(b)
+        # Retry each batch size once: transient tunnel errors (e.g.
+        # "remote_compile: read body: response body closed") are recoverable
+        # and falling back to a smaller batch under-reports the real number
+        # (r02 lost ~14% this way).  A genuine OOM fails twice and falls
+        # through to the next batch size.
+        for attempt in range(2):
+            try:
+                value = run(b)
+                break
+            except Exception as e:
+                last_err = e
+                print(f"[bench] batch={b} attempt {attempt} failed: "
+                      f"{str(e).splitlines()[0] if str(e) else e!r}",
+                      file=sys.stderr, flush=True)
+        if value is not None:
             break
-        except Exception as e:  # OOM fallback to a smaller batch
-            last_err = e
-            print(f"[bench] batch={b} failed, falling back: "
-                  f"{str(e).splitlines()[0] if str(e) else e!r}",
-                  file=sys.stderr, flush=True)
-            continue
     if value is None:
         raise SystemExit(f"bench failed: {last_err}")
     print(json.dumps({

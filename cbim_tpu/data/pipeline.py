@@ -22,7 +22,8 @@ For the ACDC-style recipes the reference affines the *full* volume; a jitted
 program needs static shapes, so the affine window is the padded precrop
 instead — same transform family, slightly different normalized-coordinate
 scaling per sample.  Quality impact is within augmentation noise; see
-tests/test_pipeline.py for the distribution checks.
+tests/test_aug_distribution.py and tools/aug_distribution_parity.py
+(results in docs/aug_parity.md) for the distribution checks.
 """
 
 from __future__ import annotations

@@ -192,10 +192,11 @@ def _stage_cw_ok(x, norm, kernel_size, force: bool = False) -> bool:
         return False        # trade lane padding on C for lane padding on W
     if D % 2 or H % 8:
         return False
-    if not force:
-        from ...ops._backend import is_tpu_backend
-        if not is_tpu_backend():
-            return False
+    from ...ops._backend import pallas_disabled, pallas_gates_on
+    if pallas_disabled():      # spatial sharding active: force cannot bypass
+        return False
+    if not force and not pallas_gates_on():
+        return False
     return True
 
 
@@ -234,8 +235,8 @@ def _pallas_conv2d_usable(x, nd, k, s, d, p, groups, out_ch) -> bool:
     B, H, W, _ = x.shape
     if H % 8 or W % 8:
         return False
-    from ...ops._backend import is_tpu_backend
-    return is_tpu_backend()
+    from ...ops._backend import pallas_gates_on
+    return pallas_gates_on()
 
 
 def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
@@ -262,8 +263,8 @@ def _pallas_conv_usable(x, nd, k, s, d, p, groups, out_ch, train) -> bool:
     B, D, H, W, _ = x.shape
     if D % _D_BLK or H % _H_BLK or W % 8:
         return False
-    from ...ops._backend import is_tpu_backend
-    return is_tpu_backend()
+    from ...ops._backend import pallas_gates_on
+    return pallas_gates_on()
 
 
 class ConvNormAct(nn.Module):

@@ -1072,8 +1072,11 @@ def _conv3d_cw_t_bwd(res, g):
     g = g.astype(x.dtype)
     dx = conv3d_same_cw(g, _flip_swap(w).astype(w.dtype))
     # wgrad uses the cw2 batched-dot kernel: transpose-free, measured ~2x
-    # faster than the rotate-based cw wgrad (5.6 vs 10.4 ms at
-    # 2x128^3xC32, tools/probe_newkernels.py); CBIM_WGRAD_CW2=0 opts out.
+    # faster than the rotate-based cw wgrad (5.69 vs 10.74 ms at
+    # 2x128^3 C32->F32, tools/probe_newkernels.py 2026-08-18, max rel
+    # diff 7e-7 on device).  That shape is exactly the grouped-packing
+    # regime (_use_grouped(F) and C<=64) the cw wgrad is best at, so the
+    # default holds for small F too; CBIM_WGRAD_CW2=0 opts out.
     if _os.environ.get("CBIM_WGRAD_CW2", "1") != "0":
         dw = conv3d_wgrad_cw2(x, g)
     else:

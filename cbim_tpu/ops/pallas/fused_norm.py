@@ -114,8 +114,8 @@ def usable(norm_kind, act, C: Optional[int] = None) -> bool:
         #                            once verified on device post-outage)
     else:
         return False
-    from .._backend import is_tpu_backend
-    return is_tpu_backend()
+    from .._backend import pallas_gates_on
+    return pallas_gates_on()
 
 
 def _mask(s_idx, block: int, S: int, shape) -> jax.Array:
@@ -191,11 +191,15 @@ def _bwd_apply_kernel(x_ref, dy_ref, mean_ref, rstd_ref, red_ref, dx_ref,
 
 # ------------------------------------------------------------------ driver
 def _grids(B: int, S: int, C: int):
-    # VMEM-scoped budget: the apply/bwd kernels hold the bf16 in/out tiles
-    # (double-buffered) plus several f32 upcast temps of the full tile, so
-    # the per-block footprint is ~12 bytes/element.  A fixed 2048-row block
-    # at C=512 allocates 24 MB of stack and Mosaic rejects it (16 MB scoped
-    # limit, hit at MedFormer down2 MBConv) — shrink the block as C grows.
+    # VMEM-scoped budget.  Worst case is the bwd kernels: 2 bf16 input tiles
+    # (x, dy) + 1 bf16 output tile, each double-buffered by Mosaic (6 tiles *
+    # 2 B/elt = 12 B/elt of buffers), plus ~3 live f32 upcast temps of the
+    # tile (xhat, dy', one intermediate = 12 B/elt of stack) => ~24 B/elt
+    # worst case.  The 6 MiB numerator holds that under the 16 MB scoped
+    # limit with >2x margin: block*C*24B <= 6 MiB/12 * 24 = 12 MiB.  A fixed
+    # 2048-row block at C=512 would be 2048*512*24B = 24 MB and Mosaic
+    # rejects it (hit at MedFormer down2 MBConv) — shrink the block as C
+    # grows.
     budget_rows = (6 * 2 ** 20) // (C * 12)
     block = min(_BLOCK, max(8, budget_rows // 8 * 8), max(8, S))
     n_s = pl.cdiv(S, block)
@@ -504,6 +508,9 @@ def usable_cw(norm_kind, act) -> bool:
     kernel runs in interpret mode, exercised by tests/test_fused_norm.py."""
     import os
     if norm_kind != "in" or not supported_act(act):
+        return False
+    from .._backend import pallas_disabled
+    if pallas_disabled():
         return False
     return os.environ.get("CBIM_FUSED_NORM_CW", "0") == "1"
 

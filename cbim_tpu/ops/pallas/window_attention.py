@@ -42,8 +42,8 @@ def pallas_available() -> bool:
     if not _PALLAS:
         return False
     try:
-        from .._backend import is_tpu_backend
-        return is_tpu_backend()
+        from .._backend import pallas_gates_on
+        return pallas_gates_on()
     except Exception:
         return False
 

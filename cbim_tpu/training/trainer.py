@@ -59,6 +59,16 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         # (SURVEY §5.7); XLA inserts the conv halo exchanges.
         sp = dict(mesh.shape).get("spatial", 1) > 1
         if sp:
+            # The Pallas kernels assume full-extent H/W tiles (they do their
+            # own halo DMA) and a pallas_call carries no GSPMD partitioning
+            # rule, so they must not be traced into an H-sharded program.
+            # This flips every dispatch gate off for the process (see
+            # ops/_backend.py pallas_gates_on).
+            from ..ops._backend import set_pallas_disabled
+            set_pallas_disabled(True)
+            logging.info("Spatial axis > 1: Pallas kernels disabled "
+                         "(GSPMD handles conv halo exchange)")
+        if sp:
             is3d = cfg.dimension == "3d"
             h = cfg.training_size[1 if is3d else 0]
             assert h % mesh.shape["spatial"] == 0, \

@@ -171,3 +171,54 @@ def test_train_net_with_spatial_axis(tmp_path):
     assert mesh.shape["spatial"] == 2
     dice, asd, hd = train_net(cfg, 0, mesh=mesh)
     assert dice.shape == (2,) and np.all(np.isfinite(dice))
+
+
+def test_spatial_sharding_disables_pallas(tmp_path, monkeypatch):
+    """VERDICT r2 #4: the Pallas kernels (full-width H/W tiles, own halo DMA)
+    must provably never be traced into an H-sharded (spatial axis) program —
+    even when CBIM_CW_FORCE=1 would otherwise bypass the backend gate.  The
+    trainer flips ops/_backend.set_pallas_disabled before tracing; every
+    dispatch gate consults it."""
+    import jax.numpy as jnp
+
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.models.layers.convs import _stage_cw_ok, _pallas_conv_usable
+    from cbim_tpu.ops import _backend
+    from cbim_tpu.ops.pallas import fused_norm
+    from cbim_tpu.parallel.mesh import make_mesh
+    from cbim_tpu.training.trainer import train_net
+
+    monkeypatch.setenv("CBIM_CW_FORCE", "1")
+    x = jnp.zeros((1, 8, 16, 128, 32), jnp.bfloat16)
+    assert _stage_cw_ok(x, "in", (3, 3, 3), force=True)  # gate open pre-flag
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, base_chan=4, block="SingleConv", norm="in",
+        down_scale=[[1, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]],
+        kernel_size=[[1, 3, 3]] + [[3, 3, 3]] * 4,
+        training_size=[8, 16, 16], synthetic_cases=5,
+        synthetic_shape=[10, 24, 24], affine_pad_size=[2, 4, 4],
+        scale=[0.1, 0.2, 0.2], rotate=[10, 0, 0], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.4], optimizer="adamw", base_lr=1e-3,
+        betas=[0.9, 0.999], weight_decay=0.01, weight=[0.5, 1, 1], rlt=1,
+        epochs=1, iter_per_epoch=2, print_freq=10, batch_size=4, ema=True,
+        ema_alpha=0.99, val_freq=5, sliding_window=False,
+        window_size=[8, 16, 16], k_fold=5, cp_path=str(tmp_path / "exp"),
+        log_path=str(tmp_path / "log"), unique_name="spgate",
+        mesh_axes=["data", "spatial"], mesh_shape=[4, 2]))
+    mesh = make_mesh(cfg)
+    try:
+        dice, asd, hd = train_net(cfg, 0, mesh=mesh)
+        assert np.all(np.isfinite(dice))
+        # the trainer latched the kill switch; every gate now rejects,
+        # force or not
+        assert _backend.pallas_disabled()
+        assert not _stage_cw_ok(x, "in", (3, 3, 3), force=True)
+        assert not _pallas_conv_usable(
+            jnp.zeros((1, 8, 16, 16, 32), jnp.bfloat16), 3, (3, 3, 3),
+            (1, 1, 1), (1, 1, 1), (1, 1, 1), 1, 32, True)
+        assert not fused_norm.usable("in", "gelu", 128)
+    finally:
+        _backend.set_pallas_disabled(False)

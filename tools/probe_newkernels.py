@@ -143,6 +143,17 @@ def main():
     from cbim_tpu.ops.pallas.conv3d import conv3d_wgrad_cw
     f_wg = jax.jit(conv3d_wgrad_cw)
     f_wg2 = jax.jit(conv3d_wgrad_cw2)
+
+    def wg_parity():
+        # cw2 wgrad is the training default (CBIM_WGRAD_CW2); interpret-mode
+        # parity tests don't exercise the Mosaic lowering, so check on device.
+        d1 = f_wg(big_cw, gb).astype(jnp.float32)
+        d2 = f_wg2(big_cw, gb).astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(d1 - d2)))
+        rel = err / max(float(jnp.max(jnp.abs(d1))), 1e-9)
+        return f"max|d|={err:.2e} (rel {rel:.2e})"
+
+    timing("wgrad cw vs cw2 parity", wg_parity)
     timing("wgrad cw", lambda: f"{timeit(f_wg, big_cw, gb):.2f} ms")
     timing("wgrad cw2", lambda: f"{timeit(f_wg2, big_cw, gb):.2f} ms")
 
