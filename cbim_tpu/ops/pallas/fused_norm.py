@@ -193,14 +193,14 @@ def _bwd_apply_kernel(x_ref, dy_ref, mean_ref, rstd_ref, red_ref, dx_ref,
 def _grids(B: int, S: int, C: int):
     # VMEM-scoped budget.  Worst case is the bwd kernels: 2 bf16 input tiles
     # (x, dy) + 1 bf16 output tile, each double-buffered by Mosaic (6 tiles *
-    # 2 B/elt = 12 B/elt of buffers), plus ~3 live f32 upcast temps of the
-    # tile (xhat, dy', one intermediate = 12 B/elt of stack) => ~24 B/elt
-    # worst case.  The 6 MiB numerator holds that under the 16 MB scoped
-    # limit with >2x margin: block*C*24B <= 6 MiB/12 * 24 = 12 MiB.  A fixed
-    # 2048-row block at C=512 would be 2048*512*24B = 24 MB and Mosaic
-    # rejects it (hit at MedFormer down2 MBConv) — shrink the block as C
-    # grows.
-    budget_rows = (6 * 2 ** 20) // (C * 12)
+    # 2 B/elt = 12 B/elt of buffers), plus ~5 live f32 upcast temps of the
+    # tile (x, dy, xhat, dy', dx pre-cast = 20 B/elt of stack) => ~32 B/elt
+    # worst case.  The 4 MiB numerator keeps block*C*32B <= 10.7 MiB, under
+    # the 16 MB scoped limit with margin (the 6 MiB numerator measured 4 KB
+    # OVER the limit at C=512 — the down2 MBConv bwd under CBIM_FUSED_NORM=
+    # lane).  A fixed 2048-row block at C=512 would be 32 MB; shrink the
+    # block as C grows.
+    budget_rows = (4 * 2 ** 20) // (C * 12)
     block = min(_BLOCK, max(8, budget_rows // 8 * 8), max(8, S))
     n_s = pl.cdiv(S, block)
     return block, n_s
