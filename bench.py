@@ -125,7 +125,9 @@ def _check_backend_reachable(timeout_s: float = 600.0) -> None:
 
 def main():
     _check_backend_reachable()
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "2,1").split(",")]
+    # batch 4 fits in HBM with remat-all and measured +6% over batch 2
+    # (2.789 vs 2.624 vols/s/chip, docs/benchmarks.md round 3)
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "4,2,1").split(",")]
     value = None
     last_err = None
     for b in batches:

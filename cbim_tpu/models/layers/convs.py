@@ -148,6 +148,34 @@ class _PallasConvCW(nn.Module):
         return y
 
 
+class _PallasConvCWNA(nn.Module):
+    """Fused preact ConvNormAct in NDHCW layout: one Pallas program computes
+    conv3x3(act(instance_norm(x))) with the norm+act applied per-tile in
+    VMEM, so the normed tensor never exists in HBM (ops/pallas/conv3d.py
+    conv_inorm_act_cw_t).  Same parameter tree as nn.Conv (the InstanceNorm
+    is affine-free, so dropping the Norm module changes no params)."""
+    out_ch: int
+    act: Any = None
+    eps: float = 1e-4
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.pallas.conv3d import conv_inorm_act_cw_t
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, 3, x.shape[3], self.out_ch), jnp.float32)
+        y = conv_inorm_act_cw_t(x.astype(self.dtype),
+                                kernel.astype(self.dtype), self.eps,
+                                self.act if self.act not in (None, False)
+                                else None)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)[:, None]
+        return y
+
+
 def _pallas_cw_usable(x, nd, k, s, d, p, groups, out_ch) -> bool:
     """Dispatch gate for the NDHCW Pallas conv (x is [B, D, H, C, W]).
     Unlike the NDHWC gate this does not depend on the backend: the caller
@@ -292,8 +320,23 @@ class ConvNormAct(nn.Module):
             p = tuple(ki // 2 for ki in k)
         else:
             p = _tuple(self.padding, nd)
+        # reference dim3 ConvNormAct passes eps=1e-4 (conv_layers.py:40-42);
+        # the dim2 twin relies on the torch default 1e-5
+        eps = 1e-4 if nd == 3 else 1e-5
+        from ...ops.pallas import fused_norm
         if self.cw:
-            if _pallas_cw_usable(x, nd, k, s, d, p, self.groups, self.out_ch):
+            cw_ok = _pallas_cw_usable(x, nd, k, s, d, p, self.groups,
+                                      self.out_ch)
+            import os
+            if (cw_ok and self.preact and self.norm == "in"
+                    and fused_norm.supported_act(self.act)
+                    and os.environ.get("CBIM_CONV_NA", "0") == "1"):
+                # whole preact ConvNormAct as ONE fused program (opt-in
+                # until step-level measured; see conv_inorm_act_cw_t)
+                return _PallasConvCWNA(self.out_ch, act=self.act, eps=eps,
+                                       use_bias=self.use_bias,
+                                       dtype=self.dtype, name="Conv_0")(x)
+            if cw_ok:
                 conv = _PallasConvCW(self.out_ch, use_bias=self.use_bias,
                                      dtype=self.dtype, name="Conv_0")
             else:
@@ -324,10 +367,6 @@ class ConvNormAct(nn.Module):
                            feature_group_count=self.groups,
                            use_bias=self.use_bias,
                            kernel_init=torch_conv_init, dtype=self.dtype)
-        # reference dim3 ConvNormAct passes eps=1e-4 (conv_layers.py:40-42);
-        # the dim2 twin relies on the torch default 1e-5
-        eps = 1e-4 if nd == 3 else 1e-5
-        from ...ops.pallas import fused_norm
         norm_c = x.shape[-1] if self.preact else self.out_ch
         if not self.cw and fused_norm.usable(self.norm, self.act, norm_c):
             # one fused InstanceNorm+act kernel instead of norm -> act

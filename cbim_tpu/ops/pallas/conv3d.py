@@ -672,6 +672,31 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 # (_halo_tile_dma/_zero_halo); the W halo + lane alignment is materialized
 # in VMEM after the per-tile transpose.
 
+def _halo_valid_mask(di, hi, d_blk: int, h_blk: int, n_d: int, n_h: int,
+                     shape, d_axis: int = 0, h_axis: int = 1):
+    """Validity mask over a halo'd tile: True where the global (d, h)
+    coordinate lies inside the volume.  Used by the norm-act ("na") kernel
+    variants: SAME zero padding applies to the NORMED input, so after the
+    in-kernel norm+act the out-of-volume halo rows must be re-zeroed (a raw
+    zero would otherwise normalize to act(-mean*rstd) != 0)."""
+    D = n_d * d_blk
+    H = n_h * h_blk
+    gd = jax.lax.broadcasted_iota(jnp.int32, shape, d_axis) + di * d_blk - 1
+    gh = jax.lax.broadcasted_iota(jnp.int32, shape, h_axis) + hi * h_blk - 1
+    return (gd >= 0) & (gd < D) & (gh >= 0) & (gh < H)
+
+
+def _na_apply(t, stat_ref, mask, act: str | None, dtype):
+    """act((t - mean) * rstd) in f32, out-of-volume positions zeroed, cast
+    back to the compute dtype.  ``stat_ref`` block is (1, 2, C, 1); the
+    caller passes ``cmean``/``crstd`` shaped to broadcast against t."""
+    from .fused_norm import _act_fn
+    mean, rstd = stat_ref
+    n = (t.astype(jnp.float32) - mean) * rstd
+    n = _act_fn(act)(n)
+    return jnp.where(mask, n, 0.0).astype(dtype)
+
+
 def _conv_kernel_cw(x_hbm, wp_ref, y_ref, xt_ref, sem, *,
                     W: int, Wp: int, C: int, F: int,
                     d_blk: int, h_blk: int, grouped: bool):
@@ -1235,3 +1260,338 @@ def _conv3d_cw2_t_bwd(res, g):
 
 
 conv3d_same_cw2_t.defvjp(_conv3d_cw2_t_fwd, _conv3d_cw2_t_bwd)
+
+
+# ---------------------------------------------------------------------------
+# "na" variants: preact InstanceNorm+act fused INTO the conv kernels
+# ---------------------------------------------------------------------------
+#
+# The preact ConvNormAct chain (reference conv_layers.py:16-53 with
+# preact=True) is  x -> InstanceNorm -> act -> conv.  Unfused, the norm
+# apply + act costs one full elementwise HBM pass of the stage tensor per
+# conv (profiled ~2 ms/call at 2x128^3x32, ~30 ms/step total with remat
+# recompute — tools/profile_step.py r3).  These variants read the RAW x tile
+# and apply act((x - mean) * rstd) in VMEM right before the matmul, so the
+# normed-activated tensor never exists in HBM:
+#
+#   stats:  one Pallas pass over x (fused_norm._stats_kernel_cw, the
+#           device-verified kernel) -> (B, 2, C, 1) mean/rstd
+#   fw:     conv3d_same_cw_na(x, stat, w)  = conv(act(norm(x)))
+#   bwd:    dxn  = cw dgrad of g (unchanged kernel, flip-swapped weights)
+#           dw   = conv3d_wgrad_cw2_na(x, stat, g)  (pre-applies na to x)
+#           dx   = fused_norm._backward_cw(x, dxn, stat)  (device-verified)
+#
+# SAME-padding correctness: zero padding applies to the NORMED input, so the
+# kernels re-zero out-of-volume halo rows AFTER the apply (_halo_valid_mask).
+
+def _conv_kernel_cw_na(x_hbm, stat_ref, wp_ref, y_ref, xt_ref, sem, *,
+                       W: int, Wp: int, C: int, F: int,
+                       d_blk: int, h_blk: int, grouped: bool, act):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
+
+    slot = jax.lax.rem(idx, 2)
+
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+    tile_io(slot, b, di, hi, "wait")
+
+    # [d+2, h+2, C, W] -> [d+2, h+2, W, C] in VMEM (C on lanes), then the
+    # norm+act apply with out-of-volume re-zeroing, then W halo + alignment
+    t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))
+    mask = _halo_valid_mask(di, hi, d_blk, h_blk, n_d, n_h, t.shape)
+    mean = stat_ref[0, 0, :, 0]                      # (C,): lane broadcast
+    rstd = stat_ref[0, 1, :, 0]
+    t = _na_apply(t, (mean, rstd), mask, act, y_ref.dtype)
+    tp = jnp.pad(t, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
+
+    M = d_blk * (h_blk + 2) * Wp
+    views = [tp[kd:kd + d_blk].reshape(M, C) for kd in range(3)]
+    x3 = jnp.concatenate(views, axis=1)
+
+    partial = jnp.dot(x3, wp_ref[:], preferred_element_type=jnp.float32)
+
+    if grouped:
+        acc = _group_fold(partial, d_blk, h_blk, Wp, W, F)
+        y_ref[0] = jnp.transpose(acc, (0, 1, 3, 2)).astype(y_ref.dtype)
+        return
+
+    partial = partial.reshape(d_blk, h_blk + 2, Wp, 9 * F)
+    acc = jnp.zeros((d_blk, h_blk, W, F), jnp.float32)
+    for kh in range(3):
+        for kw in range(3):
+            j = kh * 3 + kw
+            acc = acc + partial[:, kh:kh + h_blk, kw:kw + W,
+                                j * F:(j + 1) * F]
+    y_ref[0] = jnp.transpose(acc, (0, 1, 3, 2)).astype(y_ref.dtype)
+
+
+def conv3d_same_cw_na(x: jax.Array, stat: jax.Array, w: jax.Array,
+                      act=None, interpret: bool | None = None,
+                      d_blk: int = _D_BLK,
+                      h_blk: int | None = None) -> jax.Array:
+    """Stride-1 SAME 3^3 conv of the normed-activated input, NDHCW layout:
+    y = conv(act((x - mean) * rstd)), x[B,D,H,C,W], stat[B,2,C,1] f32,
+    w[3,3,3,C,F] -> y[B,D,H,F,W].  The norm+act happens per-tile in VMEM."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = w.shape[-1]
+    assert w.shape == (3, 3, 3, C, F), (w.shape, x.shape)
+    assert stat.shape == (B, 2, C, 1), (stat.shape, x.shape)
+    grouped = _use_grouped(F)
+    if h_blk is None:
+        # the in-kernel f32 norm+act chain (erf polynomial) keeps ~a dozen
+        # full-tile f32 temps live; h_blk=16 measured 36.8M of scoped stack
+        # (16M limit) at C32/W128, so the na variant caps at 8
+        h_blk = _H_BLK
+        if F > 64:
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    Wp = _round_up(W + 2, 8)
+    n_w = 3 * _grp_g(F) if grouped else 9 * F
+    wp = (_pack_weights_grouped(w) if grouped else _pack_weights(w)
+          ).astype(x.dtype)
+
+    kernel = functools.partial(
+        _conv_kernel_cw_na, W=W, Wp=Wp, C=C, F=F, d_blk=d_blk, h_blk=h_blk,
+        grouped=grouped, act=act)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec((1, 2, C, 1), lambda b, d, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, n_w), lambda b, d, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d_blk, h_blk, F, W),
+                               lambda b, d, h: (b, d, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, F, W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, stat, wp)
+    return y
+
+
+def _wgrad_kernel_cw2_na(x_hbm, stat_ref, g_ref, dw_ref, xt_ref, sem, *,
+                         W: int, C: int, F: int, d_blk: int, h_blk: int,
+                         act):
+    b = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    n_total = pl.num_programs(0) * n_d * n_h
+    idx = (b * n_d + di) * n_h + hi
+
+    trail = (slice(None), slice(None))
+
+    def tile_io(slot_, b_, di_, hi_, action, base=None):
+        _halo_tile_dma(x_hbm, xt_ref, sem, slot_, b_, di_, hi_, n_d, n_h,
+                       d_blk, h_blk, trail, trail, action, base=base)
+
+    slot = jax.lax.rem(idx, 2)
+
+    _zero_halo(xt_ref, slot, di, hi, n_d, n_h, d_blk, h_blk, base=idx == 0)
+    tile_io(slot, b, di, hi, "start", base=idx == 0)
+    nxt = idx + 1
+    nb = nxt // (n_d * n_h)
+    nr = jax.lax.rem(nxt, n_d * n_h)
+    ndi = nr // n_h
+    nhi = jax.lax.rem(nr, n_h)
+    nslot = jax.lax.rem(nxt, 2)
+    _zero_halo(xt_ref, nslot, ndi, nhi, n_d, n_h, d_blk, h_blk,
+               base=nxt < n_total)
+    tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
+    tile_io(slot, b, di, hi, "wait")
+
+    # pre-apply norm+act on the raw tile [d+2, h+2, C, W] (C on sublanes)
+    tile = xt_ref[slot, 0]
+    mask = _halo_valid_mask(di, hi, d_blk, h_blk, n_d, n_h, tile.shape)
+    mean = stat_ref[0, 0]                            # (C, 1): W broadcast
+    rstd = stat_ref[0, 1]
+    tile = _na_apply(tile, (mean, rstd), mask, act, g_ref.dtype)
+
+    Bt = d_blk * (h_blk + 2)
+    xs = jnp.concatenate(
+        [tile[kd:kd + d_blk] for kd in range(3)],
+        axis=2).reshape(Bt, 3 * C, W)
+
+    g = g_ref[0]                                   # [d, h, F, W]
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 3)
+    g32 = g.astype(jnp.float32)
+    gk = [jnp.where(lane == W - 1, 0.0,
+                    pltpu.roll(g32, W - 1, 3)).astype(g.dtype),     # kw=0
+          g,                                                        # kw=1
+          jnp.where(lane == 0, 0.0,
+                    pltpu.roll(g32, 1, 3)).astype(g.dtype)]         # kw=2
+    g9 = jnp.concatenate(
+        [jnp.pad(gk[kw], ((0, 0), (kh, 2 - kh), (0, 0), (0, 0)))
+         for kw in range(3) for kh in range(3)],
+        axis=2).reshape(Bt, 9 * F, W)
+
+    part = jax.lax.dot_general(g9, xs, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    dw = jnp.sum(part, axis=0)                     # [9F, 3C]
+
+    @pl.when(idx == 0)
+    def _():
+        dw_ref[:] = dw
+
+    @pl.when(idx > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw
+
+
+def conv3d_wgrad_cw2_na(x: jax.Array, stat: jax.Array, g: jax.Array,
+                        act=None, interpret: bool | None = None,
+                        d_blk: int = _D_BLK,
+                        h_blk: int | None = None) -> jax.Array:
+    """Weight gradient of conv3d_same_cw_na: contracts the upstream gradient
+    against the normed-activated input, recomputed per-tile in VMEM from the
+    raw x and the (B,2,C,1) stats."""
+    if interpret is None:
+        from .._backend import is_tpu_backend
+        interpret = not is_tpu_backend()
+    B, D, H, C, W = x.shape
+    F = g.shape[3]
+    assert g.shape == (B, D, H, F, W), (g.shape, x.shape)
+    assert stat.shape == (B, 2, C, 1), (stat.shape, x.shape)
+    if h_blk is None:
+        h_blk = _H_BLK
+        if F > 64:
+            for cand in (4, 2):
+                if H % cand == 0:
+                    h_blk = cand
+                    break
+    assert D % d_blk == 0 and H % h_blk == 0, (D, H, d_blk, h_blk)
+
+    kernel = functools.partial(
+        _wgrad_kernel_cw2_na, W=W, C=C, F=F, d_blk=d_blk, h_blk=h_blk,
+        act=act)
+
+    dwp = pl.pallas_call(
+        kernel,
+        grid=(B, D // d_blk, H // h_blk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, C, 1), lambda b, d, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_blk, h_blk, F, W),
+                         lambda b, d, h: (b, d, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * F, 3 * C), lambda b, d, h: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * F, 3 * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, stat, g)
+    dw = dwp.reshape(3, 3, F, 3, C).transpose(3, 1, 0, 4, 2)
+    return dw
+
+
+def _cw_stats(x: jax.Array, eps: float, interpret: bool) -> jax.Array:
+    """(B, 2, C, 1) f32 [mean, rstd] over (D, H, W) of x[B, D, H, C, W],
+    via the device-verified fused_norm cw stats kernel."""
+    from . import fused_norm as fn
+    B, D, H, C, W = x.shape
+    x4 = x.reshape(B, D * H, C, W)
+    block, n_s = fn._grids_cw(D * H)
+    sums = pl.pallas_call(
+        functools.partial(fn._stats_kernel_cw, S=D * H, block=block),
+        grid=(B, n_s),
+        in_specs=[fn._row_spec_cw(block, C, W)],
+        out_specs=fn._sum_spec_cw(C, W),
+        out_shape=jax.ShapeDtypeStruct((B, 2, C, W), jnp.float32),
+        interpret=interpret,
+    )(x4)
+    n = D * H * W
+    tot = jnp.sum(sums, axis=3)                       # (B, 2, C)
+    mean = tot[:, 0] / n
+    var = jnp.maximum(tot[:, 1] / n - mean * mean, 0.0)
+    return jnp.stack([mean, jax.lax.rsqrt(var + eps)], axis=1)[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_inorm_act_cw_t(x: jax.Array, w: jax.Array, eps: float,
+                        act) -> jax.Array:
+    """Trainable fused preact ConvNormAct in NDHCW layout:
+    y = conv3x3_same(act(instance_norm(x, eps))), x[B,D,H,C,W],
+    w[3,3,3,C,F] -> y[B,D,H,F,W].
+
+    Forward = one stats pass + one conv kernel with the norm+act applied
+    per-tile in VMEM (the normed tensor never touches HBM).  Backward:
+    dgrad on the upstream gradient (unchanged cw kernel), the na wgrad,
+    and the device-verified fused_norm cw backward for dx (which folds the
+    stats' own dependence on x — exact InstanceNorm VJP)."""
+    from .._backend import is_tpu_backend
+    interpret = not is_tpu_backend()
+    stat = _cw_stats(x, eps, interpret)
+    return conv3d_same_cw_na(x, stat, w.astype(x.dtype), act,
+                             interpret=interpret)
+
+
+def _conv_na_fwd(x, w, eps, act):
+    from .._backend import is_tpu_backend
+    interpret = not is_tpu_backend()
+    stat = _cw_stats(x, eps, interpret)
+    y = conv3d_same_cw_na(x, stat, w.astype(x.dtype), act,
+                          interpret=interpret)
+    return y, (x, w, stat)
+
+
+def _conv_na_bwd(eps, act, res, g):
+    from . import fused_norm as fn
+    from .._backend import is_tpu_backend
+    interpret = not is_tpu_backend()
+    x, w, stat = res
+    g = g.astype(x.dtype)
+    # dxn: gradient wrt the normed-activated input = SAME conv of g with
+    # flip-swapped weights (identical to the plain conv dgrad)
+    dxn = conv3d_same_cw(g, _flip_swap(w).astype(x.dtype),
+                         interpret=interpret)
+    dw = conv3d_wgrad_cw2_na(x, stat, g, act, interpret=interpret)
+    B, D, H, C, W = x.shape
+    dx = fn._backward_cw(x.reshape(B, D * H, C, W),
+                         dxn.reshape(B, D * H, C, W), stat, act,
+                         interpret).reshape(x.shape)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv_inorm_act_cw_t.defvjp(_conv_na_fwd, _conv_na_bwd)

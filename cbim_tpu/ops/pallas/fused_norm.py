@@ -106,12 +106,15 @@ def usable(norm_kind, act, C: Optional[int] = None) -> bool:
     import os
     if norm_kind != "in" or not supported_act(act):
         return False
-    forced = os.environ.get("CBIM_FUSED_NORM", "")
+    forced = os.environ.get("CBIM_FUSED_NORM", "lane")
     if forced == "1":
-        pass                       # force everywhere
+        pass                       # force everywhere (narrow C measured no
+        #                            faster than XLA; see docstring)
     elif forced == "lane" and C is not None and C % 128 == 0:
-        pass                       # lane-dense sites only (planned default
-        #                            once verified on device post-outage)
+        pass                       # DEFAULT: lane-dense sites only —
+        #                            measured 2.553 -> 2.624 vols/s/chip at
+        #                            step level (bench.py, 2026-08-18);
+        #                            CBIM_FUSED_NORM=0 opts out
     else:
         return False
     from .._backend import pallas_gates_on

@@ -58,14 +58,15 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         # volume's H axis — the volumetric sequence-parallel analogue
         # (SURVEY §5.7); XLA inserts the conv halo exchanges.
         sp = dict(mesh.shape).get("spatial", 1) > 1
+        # The Pallas kernels assume full-extent H/W tiles (they do their
+        # own halo DMA) and a pallas_call carries no GSPMD partitioning
+        # rule, so they must not be traced into an H-sharded program.
+        # This flips every dispatch gate for the process (see
+        # ops/_backend.py pallas_gates_on); set unconditionally so a
+        # data-parallel-only run after a spatial one re-enables them.
+        from ..ops._backend import set_pallas_disabled
+        set_pallas_disabled(sp)
         if sp:
-            # The Pallas kernels assume full-extent H/W tiles (they do their
-            # own halo DMA) and a pallas_call carries no GSPMD partitioning
-            # rule, so they must not be traced into an H-sharded program.
-            # This flips every dispatch gate off for the process (see
-            # ops/_backend.py pallas_gates_on).
-            from ..ops._backend import set_pallas_disabled
-            set_pallas_disabled(True)
             logging.info("Spatial axis > 1: Pallas kernels disabled "
                          "(GSPMD handles conv halo exchange)")
         if sp:
@@ -97,6 +98,8 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                              out_shardings=(repl, repl),
                              donate_argnums=0)
     else:
+        from ..ops._backend import set_pallas_disabled
+        set_pallas_disabled(False)
         train_step = jax.jit(step_fn, donate_argnums=0)
 
     ckpt_dir = os.path.join(cfg.cp_path, cfg.dataset, cfg.unique_name)

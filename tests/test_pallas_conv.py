@@ -278,3 +278,93 @@ def test_cw2_wgrad_matches_xla():
         dw_ref, = vjp(g)
         np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def _inorm_act_ref(x_cw, eps, act):
+    """Unfused reference of the fused preact chain in NDHCW layout:
+    f32 InstanceNorm over (D, H, W) + exact-erf act, on [B, D, H, C, W]."""
+    import jax
+    x32 = x_cw.astype(jnp.float32)
+    axes = (1, 2, 4)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    n = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if act == "gelu":
+        n = jax.nn.gelu(n, approximate=False)
+    elif act == "relu":
+        n = jax.nn.relu(n)
+    return n
+
+
+@pytest.mark.parametrize("act", [None, "relu", "gelu"])
+def test_conv_inorm_act_cw_forward(act):
+    """Fused preact ConvNormAct == act(InstanceNorm(x)) -> conv, incl. the
+    SAME zero padding applying to the NORMED input (the halo re-zeroing)."""
+    from cbim_tpu.ops.pallas.conv3d import (_cw_stats, conv3d_same_cw_na,
+                                            to_cw, from_cw)
+    rng = np.random.default_rng(3)
+    B, D, H, W, C, F = 2, 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    x_cw = to_cw(x)
+    eps = 1e-4
+    stat = _cw_stats(x_cw, eps, interpret=True)
+    y = from_cw(conv3d_same_cw_na(x_cw, stat, w, act, interpret=True))
+    xn = from_cw(_inorm_act_ref(x_cw, eps, act))
+    y_ref = _xla_conv(xn.astype(jnp.float32), w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv_inorm_act_cw_grads_match_unfused():
+    """custom VJP of the fused op == autodiff through the unfused chain
+    (norm stats' dependence on x included)."""
+    from cbim_tpu.ops.pallas.conv3d import conv_inorm_act_cw_t, to_cw
+
+    rng = np.random.default_rng(4)
+    B, D, H, W, C, F = 1, 4, 8, 16, 8, 8
+    x = jnp.asarray(rng.normal(size=(B, D, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, F)).astype(np.float32)) * 0.2
+    eps, act = 1e-4, "gelu"
+    x_cw = to_cw(x)
+
+    def loss_fused(xc, wt):
+        return jnp.sum(conv_inorm_act_cw_t(xc, wt, eps, act) ** 2)
+
+    def loss_ref(xc, wt):
+        xn = _inorm_act_ref(xc, eps, act)
+        y = _xla_conv(jnp.transpose(xn, (0, 1, 2, 4, 3)), wt)
+        return jnp.sum(y ** 2)
+
+    lf, (dxf, dwf) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x_cw, w)
+    lr, (dxr, dwr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x_cw, w)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dwf), np.asarray(dwr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dxf), np.asarray(dxr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv_na_dispatch_in_convnormact(monkeypatch):
+    """CBIM_CONV_NA=1 routes the preact cw ConvNormAct through the fused
+    module with an UNCHANGED parameter tree, and matches the unfused path."""
+    from flax import linen as nn
+
+    from cbim_tpu.models.layers.convs import ConvNormAct
+
+    monkeypatch.setenv("CBIM_CONV_NA", "1")
+    monkeypatch.setenv("CBIM_CW_FORCE", "1")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 128)).astype(np.float32))
+    m = ConvNormAct(8, 3, 1, norm="in", act="gelu", preact=True, cw=True,
+                    dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    monkeypatch.setenv("CBIM_CONV_NA", "0")
+    m2 = ConvNormAct(8, 3, 1, norm="in", act="gelu", preact=True, cw=True,
+                     dtype=jnp.float32)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    y2 = m2.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2),
+                               rtol=2e-4, atol=2e-4)

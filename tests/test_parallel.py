@@ -189,6 +189,7 @@ def test_spatial_sharding_disables_pallas(tmp_path, monkeypatch):
     from cbim_tpu.training.trainer import train_net
 
     monkeypatch.setenv("CBIM_CW_FORCE", "1")
+    _backend.set_pallas_disabled(False)   # a prior spatial run may have latched it
     x = jnp.zeros((1, 8, 16, 128, 32), jnp.bfloat16)
     assert _stage_cw_ok(x, "in", (3, 3, 3), force=True)  # gate open pre-flag
 
