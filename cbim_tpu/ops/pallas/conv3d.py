@@ -697,6 +697,38 @@ def _na_apply(t, stat_ref, mask, act: str | None, dtype):
     return jnp.where(mask, n, 0.0).astype(dtype)
 
 
+def _na_apply_slabs(load_slab, na_ref, stats, di, hi, d_blk: int, h_blk: int,
+                    n_d: int, n_h: int, act, h_axis: int):
+    """Apply norm+act per d-slab into the explicit VMEM scratch ``na_ref``,
+    inside a ``fori_loop`` so the stack is ONE slab's worth of temps.
+
+    The erf chain keeps ~a dozen f32 temps live; applied to the whole halo'd
+    tile at once — or even per-slab in an UNROLLED loop — the Mosaic stack
+    allocator sums every temp ever created (measured 19.7-36.8 MB of scoped
+    stack vs the 16 MB limit).  A fori_loop body is a single allocation
+    region reused across iterations, bounding the live f32 set to one
+    (h+2, ...) slab.
+
+    ``load_slab(i)``: returns slab i of the halo'd tile in na_ref's layout;
+    ``h_axis``: position of the h dim inside a slab (0 for both layouts:
+    (h+2, W, C) and (h+2, C, W)).  Out-of-volume d rows reduce to a scalar
+    predicate per slab; h rows to an iota mask."""
+    D = n_d * d_blk
+    H = n_h * h_blk
+    slab_shape = na_ref.shape[1:]
+    gh = (jax.lax.broadcasted_iota(jnp.int32, slab_shape, h_axis)
+          + hi * h_blk - 1)
+    h_ok = (gh >= 0) & (gh < H)
+
+    def body(i, carry):
+        gd = di * d_blk - 1 + i
+        mask = h_ok & (gd >= 0) & (gd < D)
+        na_ref[i] = _na_apply(load_slab(i), stats, mask, act, na_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, d_blk + 2, body, 0)
+
+
 def _conv_kernel_cw(x_hbm, wp_ref, y_ref, xt_ref, sem, *,
                     W: int, Wp: int, C: int, F: int,
                     d_blk: int, h_blk: int, grouped: bool):
@@ -1284,7 +1316,7 @@ conv3d_same_cw2_t.defvjp(_conv3d_cw2_t_fwd, _conv3d_cw2_t_bwd)
 # SAME-padding correctness: zero padding applies to the NORMED input, so the
 # kernels re-zero out-of-volume halo rows AFTER the apply (_halo_valid_mask).
 
-def _conv_kernel_cw_na(x_hbm, stat_ref, wp_ref, y_ref, xt_ref, sem, *,
+def _conv_kernel_cw_na(x_hbm, stat_ref, wp_ref, y_ref, xt_ref, na_ref, sem, *,
                        W: int, Wp: int, C: int, F: int,
                        d_blk: int, h_blk: int, grouped: bool, act):
     b = pl.program_id(0)
@@ -1316,14 +1348,15 @@ def _conv_kernel_cw_na(x_hbm, stat_ref, wp_ref, y_ref, xt_ref, sem, *,
     tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
     tile_io(slot, b, di, hi, "wait")
 
-    # [d+2, h+2, C, W] -> [d+2, h+2, W, C] in VMEM (C on lanes), then the
-    # norm+act apply with out-of-volume re-zeroing, then W halo + alignment
-    t = jnp.transpose(xt_ref[slot, 0], (0, 1, 3, 2))
-    mask = _halo_valid_mask(di, hi, d_blk, h_blk, n_d, n_h, t.shape)
+    # per-slab: [h+2, C, W] -> [h+2, W, C] transpose (C to lanes) + the
+    # norm+act apply with out-of-volume re-zeroing, looped through the na
+    # scratch to bound the f32 temp set; then W halo + alignment
     mean = stat_ref[0, 0, :, 0]                      # (C,): lane broadcast
     rstd = stat_ref[0, 1, :, 0]
-    t = _na_apply(t, (mean, rstd), mask, act, y_ref.dtype)
-    tp = jnp.pad(t, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
+    _na_apply_slabs(lambda i: jnp.transpose(xt_ref[slot, 0, i], (0, 2, 1)),
+                    na_ref, (mean, rstd), di, hi, d_blk, h_blk,
+                    n_d, n_h, act, h_axis=0)
+    tp = jnp.pad(na_ref[:], ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
 
     M = d_blk * (h_blk + 2) * Wp
     views = [tp[kd:kd + d_blk].reshape(M, C) for kd in range(3)]
@@ -1398,6 +1431,7 @@ def conv3d_same_cw_na(x: jax.Array, stat: jax.Array, w: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, D, H, F, W), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.VMEM((d_blk + 2, h_blk + 2, W, C), x.dtype),   # na slabs
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -1405,8 +1439,8 @@ def conv3d_same_cw_na(x: jax.Array, stat: jax.Array, w: jax.Array,
     return y
 
 
-def _wgrad_kernel_cw2_na(x_hbm, stat_ref, g_ref, dw_ref, xt_ref, sem, *,
-                         W: int, C: int, F: int, d_blk: int, h_blk: int,
+def _wgrad_kernel_cw2_na(x_hbm, stat_ref, g_ref, dw_ref, xt_ref, na_ref, sem,
+                         *, W: int, C: int, F: int, d_blk: int, h_blk: int,
                          act):
     b = pl.program_id(0)
     di = pl.program_id(1)
@@ -1437,12 +1471,13 @@ def _wgrad_kernel_cw2_na(x_hbm, stat_ref, g_ref, dw_ref, xt_ref, sem, *,
     tile_io(nslot, nb, ndi, nhi, "start", base=nxt < n_total)
     tile_io(slot, b, di, hi, "wait")
 
-    # pre-apply norm+act on the raw tile [d+2, h+2, C, W] (C on sublanes)
-    tile = xt_ref[slot, 0]
-    mask = _halo_valid_mask(di, hi, d_blk, h_blk, n_d, n_h, tile.shape)
+    # pre-apply norm+act on the raw tile [d+2, h+2, C, W] (C on sublanes),
+    # slab-at-a-time through the na scratch to bound the f32 temp set
     mean = stat_ref[0, 0]                            # (C, 1): W broadcast
     rstd = stat_ref[0, 1]
-    tile = _na_apply(tile, (mean, rstd), mask, act, g_ref.dtype)
+    _na_apply_slabs(lambda i: xt_ref[slot, 0, i], na_ref, (mean, rstd),
+                    di, hi, d_blk, h_blk, n_d, n_h, act, h_axis=0)
+    tile = na_ref[:]
 
     Bt = d_blk * (h_blk + 2)
     xs = jnp.concatenate(
@@ -1518,6 +1553,7 @@ def conv3d_wgrad_cw2_na(x: jax.Array, stat: jax.Array, g: jax.Array,
         out_shape=jax.ShapeDtypeStruct((9 * F, 3 * C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 1, d_blk + 2, h_blk + 2, C, W), x.dtype),
+            pltpu.VMEM((d_blk + 2, h_blk + 2, C, W), x.dtype),   # na slabs
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

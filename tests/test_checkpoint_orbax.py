@@ -130,6 +130,7 @@ def test_orbax_sharded_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_orbax_backend(tmp_path):
     """train_net with ckpt_backend=orbax writes orbax dirs, and resume
     restores from them."""

@@ -67,6 +67,7 @@ def test_cw_block_grads_match_plain():
                                atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_medformer_stage_cw_gate(monkeypatch):
     """With the gate forced open, the MedFormer3D forward routes its
     full-res stages through cw and still matches the plain forward."""

@@ -38,6 +38,7 @@ def _model_vars(cfg):
     return model, variables
 
 
+@pytest.mark.slow
 def test_window_forward_roundtrip():
     from cbim_tpu.inference.export import (export_window_forward,
                                            load_exported)
@@ -99,6 +100,7 @@ def test_sliding_window_export_pads_small_volume():
     assert got.shape == (1, *vol, 3)
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path):
     """tools/export_model.py end-to-end from a saved checkpoint."""
     import subprocess

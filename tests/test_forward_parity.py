@@ -83,6 +83,7 @@ def test_unet2d_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_medformer3d_forward_matches_torch_with_same_weights():
     """FLAGSHIP numerical parity: reference MedFormer weights transplanted."""
     cf.add_reference_to_path()
@@ -128,6 +129,7 @@ def test_medformer3d_forward_matches_torch_with_same_weights():
         np.testing.assert_allclose(np.asarray(o), ref_np, rtol=5e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_nnformer_forward_matches_torch_with_same_weights():
     """Swin-stack numerical parity: windows, masks, rel-pos bias, kv decoder."""
     cf.add_reference_to_path()
@@ -193,6 +195,7 @@ def test_vtunet_forward_matches_torch_with_same_weights():
     np.testing.assert_allclose(out, ref_np, rtol=5e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_resunet3d_forward_matches_torch_with_same_weights():
     """BasicBlock (ResUNet) transplant via the import utility."""
     cf.add_reference_to_path()

@@ -1,5 +1,6 @@
 """Fused crop-into-resample equals resample-then-crop exactly."""
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -9,6 +10,7 @@ from cbim_tpu.ops.augment import center_crop_2d, center_crop_3d
 from cbim_tpu.ops.resample import affine_sample_2d, affine_sample_3d
 
 
+@pytest.mark.slow
 def test_fused_center_crop_3d_exact():
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(14, 20, 18, 1).astype(np.float32))

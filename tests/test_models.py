@@ -23,6 +23,7 @@ def torch_n_params(net):
     return sum(p.numel() for p in net.parameters())
 
 
+@pytest.mark.slow
 def test_unet2d_param_parity():
     torch = pytest.importorskip("torch")
     cf.add_reference_to_path()
@@ -40,6 +41,7 @@ def test_unet2d_param_parity():
     assert out.shape == (2, 64, 64, 4)
 
 
+@pytest.mark.slow
 def test_resunet3d_param_parity_anisotropic():
     torch = pytest.importorskip("torch")
     cf.add_reference_to_path()

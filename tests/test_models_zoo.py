@@ -70,6 +70,7 @@ def test_attention_unet3d_param_parity_minus_dead_conv():
     assert out.shape == (1, 16, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_vnet_param_parity():
     torch = pytest.importorskip("torch")
     cf.add_reference_to_path()

@@ -156,6 +156,7 @@ def test_tiled_batch_lowering_matches_per_sample_path():
         np.testing.assert_array_equal(np.asarray(tl[b]), np.asarray(rl))
 
 
+@pytest.mark.slow
 def test_batch_aug_matches_vmapped_sample_aug():
     """build_batch_aug == vmap(build_sample_aug) (same key consumption)."""
     import jax

@@ -55,6 +55,7 @@ def test_nnformer_trains_with_drop_path_active():
     _one_step(model, cfg, img, lab)
 
 
+@pytest.mark.slow
 def test_transunet_trains_with_dropout_active():
     from cbim_tpu.models.transunet import TransUNet
 

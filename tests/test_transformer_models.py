@@ -96,6 +96,7 @@ def test_swin_unetr_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_swin_unetr_param_structure():
     """Stage dims double per stage; rel-pos tables sized prod(2w-1)."""
     from cbim_tpu.models.swin_unetr import SwinUNETR

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from test_models import init_model, n_params
 
 
+@pytest.mark.slow
 def test_vtunet_forward_and_factory():
     from cbim_tpu.config import config_from_dict
     from cbim_tpu.models import get_model
@@ -39,6 +40,7 @@ def test_vtunet_positional_encoding_matches_reference():
     np.testing.assert_allclose(ours, ref_emb, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_transunet_forward():
     from cbim_tpu.models.transunet import TransUNet
 

@@ -22,6 +22,7 @@ def _to_torch(x):
     return torch.from_numpy(np.transpose(x, axes))
 
 
+@pytest.mark.slow
 def test_unetpp3d_forward_matches_torch():
     cf.add_reference_to_path()
     from model.dim3.unetpp import UNetPlusPlus as Ref
@@ -128,6 +129,7 @@ def test_daunet_forward_matches_torch():
     np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_medformer2d_forward_matches_torch():
     """2D flagship transplant: BN affine + running stats through every block,
     B-MHA head-channel permutation, up-block concat norm."""
