@@ -153,6 +153,38 @@ CONFIG3D = {
 }
 
 
+# nnFormer recipe (reference config/kits/nnformer_3d.yaml scaled to
+# CPU-runnable geometry; the reference factory model/utils.py:118-120 exposes
+# only crop size = window_size, so both sides run the paper defaults:
+# embed 192, patch [2,4,4], windows [4,4,8,4], heads [6,12,24,48]).
+# At crop [16,32,32] the swin stages see [8,8,8]->[4,4,4]->[2,2,2]->[1,1,1];
+# stages with min(res) <= window clamp window=min(res), shift=0 on BOTH sides
+# (reference nnformer.py:75-78, ours models/nnformer.py _effective).
+# Geometry sized to the torch-CPU budget of this 1-core box: the reference
+# step at crop [16,64,64] measured 73 s; [16,32,32] is ~4x fewer voxels and
+# the sliding-window eval grid over the (20,~128,~128) phantoms stays the
+# dominant reference-side cost (~100 windows/vol).
+CONFIG3D_NNFORMER = dict(
+    CONFIG3D,
+    arch="nnformer",
+    training_size=[16, 32, 32],
+    window_size=[16, 32, 32],
+    epochs=20,
+    val_freq=20,
+    aux_loss=True,
+    aux_weight=[0.2, 0.3, 0.5],      # kits/nnformer_3d.yaml:21
+    base_lr=0.0004,                  # kits/nnformer_3d.yaml:27
+)
+
+CONFIGS_3D = {"medformer": CONFIG3D, "nnformer": CONFIG3D_NNFORMER}
+
+
+def _cfg_for(dim: str, arch: str | None):
+    if dim != "3d":
+        return CONFIG
+    return CONFIGS_3D[arch or "medformer"]
+
+
 # ---------------------------------------------------------------- phantom data
 def _phantom_frame(rng: np.random.Generator, shape, phase: float):
     """One cardiac-like frame: LV cavity (3) inside myocardium ring (2), with
@@ -189,7 +221,7 @@ def _phantom_frame(rng: np.random.Generator, shape, phase: float):
     return img.astype(np.float32), lab
 
 
-def generate(workdir: str, dim: str = "2d"):
+def generate(workdir: str, dim: str = "2d", arch: str | None = None):
     sys.path.insert(0, REPO)
     from cbim_tpu.data.nifti import write_nifti
     import yaml
@@ -220,9 +252,10 @@ def generate(workdir: str, dim: str = "2d"):
     print(f"wrote {N_CASES} cases (2 frames each) to {data_root}")
 
 
-def _write_config(workdir: str, data_root: str, dim: str = "2d"):
+def _write_config(workdir: str, data_root: str, dim: str = "2d",
+                  arch: str | None = None):
     import yaml
-    cfg = dict(CONFIG3D if dim == "3d" else CONFIG)
+    cfg = dict(_cfg_for(dim, arch))
     cfg["data_root"] = data_root
     cdir = os.path.join(workdir, "config", "acdc")
     os.makedirs(cdir, exist_ok=True)
@@ -233,13 +266,13 @@ def _write_config(workdir: str, data_root: str, dim: str = "2d"):
 
 
 # ---------------------------------------------------------------- ref harness
-def run_reference(workdir: str, dim: str = "2d"):
+def run_reference(workdir: str, dim: str = "2d", arch: str | None = None):
     """Run /root/reference/train.py on torch-CPU against the phantom data."""
     import types
 
     data_root = os.path.join(workdir, "data")
-    _write_config(workdir, data_root, dim)
-    model = (CONFIG3D if dim == "3d" else CONFIG)["arch"]
+    _write_config(workdir, data_root, dim, arch)
+    model = _cfg_for(dim, arch)["arch"]
     batch = BATCH_3D if dim == "3d" else BATCH
 
     # --- shim 1: SimpleITK backed by our pure-numpy NIfTI reader
@@ -306,10 +339,10 @@ def run_reference(workdir: str, dim: str = "2d"):
 
 
 # ---------------------------------------------------------------- ours
-def run_ours(workdir: str, dim: str = "2d"):
+def run_ours(workdir: str, dim: str = "2d", arch: str | None = None):
     data_root = os.path.join(workdir, "data")
-    config_root = _write_config(workdir, data_root, dim)
-    model = (CONFIG3D if dim == "3d" else CONFIG)["arch"]
+    config_root = _write_config(workdir, data_root, dim, arch)
+    model = _cfg_for(dim, arch)["arch"]
     batch = BATCH_3D if dim == "3d" else BATCH
     # PARITY_PLATFORM=tpu runs our side on the ambient TPU backend (the
     # convergence comparison needs same data+recipe, not same hardware;
@@ -352,7 +385,7 @@ def _parse_cv(path: str):
     return folds, text
 
 
-def report(workdir: str, dim: str = "2d"):
+def report(workdir: str, dim: str = "2d", arch: str | None = None):
     out = {}
     for tag, sub in [("reference", "exp_ref"), ("ours", "exp_ours")]:
         path = os.path.join(workdir, sub, "acdc",
@@ -376,10 +409,12 @@ def main():
     ap.add_argument("mode", choices=["gen", "ref", "ours", "report"])
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--dim", default="2d", choices=["2d", "3d"])
+    ap.add_argument("--arch", default=None, choices=[None, "medformer", "nnformer"],
+                    help="3d recipe to run (default: medformer)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     {"gen": generate, "ref": run_reference, "ours": run_ours,
-     "report": report}[args.mode](args.workdir, args.dim)
+     "report": report}[args.mode](args.workdir, args.dim, args.arch)
 
 
 if __name__ == "__main__":
