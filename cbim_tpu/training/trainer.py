@@ -213,9 +213,16 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         writer.add_scalar("Train/Loss", epoch_loss.avg, epoch + 1)
         writer.add_scalar("LR", lr, epoch + 1)
 
-        save_checkpoint(os.path.join(ckpt_dir, f"fold_{fold_idx}_latest.ckpt"),
-                        state, epoch + 1,
-                        backend=getattr(cfg, "ckpt_backend", "msgpack"))
+        # cfg.save_ckpt=False skips both latest and best saves: the
+        # device->host state snapshot is NOT cheap on a tunneled/remote
+        # backend (~GBs per epoch for the large transformer models), and
+        # metric-only runs (convergence parity, benchmarking) don't need it.
+        save_ckpt = cfg.get("save_ckpt", True)
+        if save_ckpt:
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"fold_{fold_idx}_latest.ckpt"),
+                state, epoch + 1,
+                backend=getattr(cfg, "ckpt_backend", "msgpack"))
 
         if (epoch + 1) % cfg.val_freq == 0:
             variables = eval_variables(state, cfg.ema)
@@ -228,11 +235,11 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
                 best_dice = dice
                 best_hd = hd
                 best_asd = asd
-                save_checkpoint(os.path.join(ckpt_dir,
-                                             f"fold_{fold_idx}_best.ckpt"),
-                                state, epoch + 1,
-                                backend=getattr(cfg, "ckpt_backend",
-                                                "msgpack"))
+                if save_ckpt:
+                    save_checkpoint(
+                        os.path.join(ckpt_dir, f"fold_{fold_idx}_best.ckpt"),
+                        state, epoch + 1,
+                        backend=getattr(cfg, "ckpt_backend", "msgpack"))
             logging.info("Evaluation Done")
             logging.info("Dice: %.4f / Best Dice: %.4f",
                          np.nanmean(dice), best_mean)

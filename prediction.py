@@ -115,6 +115,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cbim_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     from cbim_tpu.config import load_config
     from cbim_tpu.data.conversion.utils import (resample_label_to_shape,
                                                 resample_to_spacing)

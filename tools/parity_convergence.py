@@ -174,6 +174,9 @@ CONFIG3D_NNFORMER = dict(
     aux_loss=True,
     aux_weight=[0.2, 0.3, 0.5],      # kits/nnformer_3d.yaml:21
     base_lr=0.0004,                  # kits/nnformer_3d.yaml:27
+    # metric-only run: a per-epoch 149M-param state snapshot is ~2.4 GB
+    # device->host, minutes per epoch over the tunneled TPU backend
+    save_ckpt=False,                 # (cbim_tpu-only key; reference ignores it)
 )
 
 CONFIGS_3D = {"medformer": CONFIG3D, "nnformer": CONFIG3D_NNFORMER}

@@ -61,6 +61,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    from cbim_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     from cbim_tpu.config import load_config, save_configure
     from cbim_tpu.parallel.mesh import initialize_distributed, make_mesh
     from cbim_tpu.training.trainer import train_net, write_cross_validation
