@@ -46,6 +46,23 @@ def _grid_starts(spatial, window):
     return starts.astype(np.int32)
 
 
+def _dedup_starts(starts: np.ndarray):
+    """Collapse repeated window starts into (unique_starts, multiplicity).
+
+    The reference's clamped grid revisits a start whenever an axis size is a
+    multiple of the half-window: the last index clamps flush to the border
+    (split_idx, reference inference/utils.py:29-43) and lands on an existing
+    start.  A revisit contributes an identical (prob x importance, count)
+    pair, so running the window once and scaling by the integer multiplicity
+    is numerically equivalent (m is a power of two — one repeat per axis —
+    and m*q == q+...+q exactly in fp) while saving the duplicate forwards:
+    the AMOS eval shape 160x256x256 / 128^3 window drops from 32 to 18
+    forwards.  The grid is lexicographically non-decreasing, so np.unique's
+    sorted output preserves the reference's visit order."""
+    uniq, mult = np.unique(starts, axis=0, return_counts=True)
+    return uniq.astype(np.int32), mult.astype(np.float32)
+
+
 class InferenceEngine:
     """Shape-cached jit programs around a model apply function.
 
@@ -144,11 +161,11 @@ class InferenceEngine:
             img_p = img
         padded_spatial = tuple(img_p.shape[1:1 + nd])
 
-        starts = _grid_starts(padded_spatial, window)
+        starts, mult = _dedup_starts(_grid_starts(padded_spatial, window))
         n = starts.shape[0]
         wb = self.window_batch
         n_pad = (-n) % (wb * group_multiple)
-        valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+        valid = np.concatenate([mult, np.zeros(n_pad, np.float32)])
         starts = np.concatenate([starts, np.tile(starts[:1], (n_pad, 1))], axis=0)
         groups = starts.shape[0] // wb
         starts = starts.reshape(groups, wb, nd)
@@ -176,7 +193,7 @@ class InferenceEngine:
                 sl = tuple([slice(None)] +
                            [slice(int(o), int(o) + w) for o, w in zip(s, window)]
                            + [slice(None)])
-                cnt[sl] += imp[..., None]
+                cnt[sl] += v * imp[..., None]   # v = window multiplicity
         return cnt
 
     def sliding_window(self, img: jax.Array) -> jax.Array:
@@ -221,23 +238,22 @@ class InferenceEngine:
         else:
             img_p = img
         padded_spatial = tuple(img_p.shape[1:3])
-        starts = _grid_starts(padded_spatial, window)
-        n = starts.shape[0]
+        starts, mult = _dedup_starts(_grid_starts(padded_spatial, window))
 
         key = ("sw2d", B, padded_spatial, img.shape[-1])
         if key not in self._sw_cache:
             C = self.num_classes
             apply_fn = self.apply_fn
             importance = jnp.asarray(self._importance(window))   # (wh, ww, 1)
-            valid = np.ones(n, np.float32)
             cnt = jnp.asarray(
                 self._count_map(padded_spatial, starts[:, None, :],
-                                valid[:, None]))                 # (1, H, W, 1)
+                                mult[:, None]))                  # (1, H, W, 1)
 
-            def run(img, starts):
+            def run(img, starts, mult):
                 acc = jnp.zeros((B, *padded_spatial, C), jnp.float32)
 
-                def body(acc, s):
+                def body(acc, sm):
+                    s, m = sm
                     idx = (0, s[0], s[1], 0)
                     win = jax.lax.dynamic_slice(
                         img, idx, (B, *window, img.shape[-1]))
@@ -245,14 +261,14 @@ class InferenceEngine:
                     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                     cur = jax.lax.dynamic_slice(acc, idx, (B, *window, C))
                     acc = jax.lax.dynamic_update_slice(
-                        acc, cur + probs * importance[None], idx)
+                        acc, cur + probs * importance[None] * m, idx)
                     return acc, None
 
-                acc, _ = jax.lax.scan(body, acc, starts)
+                acc, _ = jax.lax.scan(body, acc, (starts, mult))
                 return acc / cnt
 
             self._sw_cache[key] = jax.jit(run)
-        probs = self._sw_cache[key](img_p, jnp.asarray(starts))
+        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(mult))
         return self._crop_pads(probs, pads, spatial)
 
     def sliding_window_slices_sharded(self, img: jax.Array, mesh,

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.activations import fast_gelu as _fast_gelu
+
 KernelArg = Union[int, Sequence[int]]
 
 #: torch Conv/Linear default init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))
@@ -46,7 +48,9 @@ def get_act(name) -> Callable:
     return {
         "relu": jax.nn.relu,
         "relu6": jax.nn.relu6,
-        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        # exact-form GELU; bf16 inputs take the exp/division-free polynomial
+        # erf (ops/activations.py — identical to ~1.3e-6, far under bf16 ulp)
+        "gelu": _fast_gelu,
         "silu": jax.nn.silu,
         "swish": jax.nn.silu,
         "lrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
@@ -623,7 +627,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * in_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = nn.Dense(self.out_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
         if self.layer_scale_init_value > 0:
             gamma_p = self.param("layer_scale",

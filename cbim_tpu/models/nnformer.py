@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from ..ops.activations import fast_gelu
 
 from ..ops.interpolate import resize_linear
 from .layers.convs import torch_conv_init, DropPath
@@ -165,7 +166,7 @@ class _NFBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(int(c * self.mlp_ratio), kernel_init=torch_conv_init,
                      dtype=self.dtype)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = fast_gelu(h)
         h = nn.Dropout(self.drop, deterministic=not train)(h)
         h = nn.Dense(c, kernel_init=torch_conv_init, dtype=self.dtype)(h)
         h = nn.Dropout(self.drop, deterministic=not train)(h)
@@ -179,7 +180,7 @@ class _PatchMergingNF(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        x = jax.nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return nn.Conv(2 * dim, (3, 3, 3), strides=(2, 2, 2),
                        padding=[(1, 1)] * 3, use_bias=True,
@@ -211,13 +212,13 @@ class _Project(nn.Module):
         x = nn.Conv(self.out_dim, (3, 3, 3), strides=tuple(self.stride),
                     padding=[(1, 1)] * 3, use_bias=True,
                     kernel_init=torch_conv_init, dtype=self.dtype)(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Conv(self.out_dim, (3, 3, 3), padding=[(1, 1)] * 3,
                     use_bias=True, kernel_init=torch_conv_init,
                     dtype=self.dtype)(x)
         if not self.last:
-            x = jax.nn.gelu(x, approximate=False)
+            x = fast_gelu(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         return x
 

@@ -23,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from ..ops.activations import fast_gelu
 
 from .layers.convs import torch_conv_init, DropPath
 
@@ -222,7 +223,7 @@ class SwinBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(int(c * self.mlp_ratio), kernel_init=torch_conv_init,
                      dtype=self.dtype)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = fast_gelu(h)
         h = nn.Dropout(self.drop, deterministic=not train)(h)
         h = nn.Dense(c, kernel_init=torch_conv_init, dtype=self.dtype)(h)
         h = nn.Dropout(self.drop, deterministic=not train)(h)

@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from ..ops.activations import fast_gelu
 
 from .layers.convs import torch_conv_init, DropPath
 from .swin_layers import (compute_attn_mask, get_window_size,
@@ -139,7 +140,7 @@ class SwinBlockVT(nn.Module):
 
         def mlp(t):
             h = fc1(norm2(t))
-            h = jax.nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = nn.Dropout(self.drop, deterministic=not train)(h)
             h = fc2(h)
             return nn.Dropout(self.drop, deterministic=not train)(h)

@@ -315,9 +315,12 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
     # without hardware.
     if halo is None:
         # opt-in until the on-device Mosaic compile is verified (the cw
-        # kernels' halo DMA is device-proven, this kernel context is not)
+        # kernels' halo DMA is device-proven, this kernel context is not).
+        # C % 64 == 0 also rides the halo DMA (minor dim = one bf16 sublane
+        # tile): the r3 profile showed the 64^3 C=64 stages' pre-pads
+        # (64 -> 128 lane pad + D/H/W borders) at ~27 ms/step.
         import os as _os2
-        halo = C % 128 == 0 and _os2.environ.get("CBIM_PLHALO") == "1"
+        halo = C % 64 == 0 and _os2.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:
@@ -603,8 +606,9 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 
     Wp = _round_up(W + 2, 8)
     if halo is None:
-        # lane-dense: skip the pre-pad (see fwd); opt-in until verified
-        halo = C % 128 == 0 and os.environ.get("CBIM_PLHALO") == "1"
+        # lane-dense or sublane-tile C: skip the pre-pad (see fwd); opt-in
+        # until verified
+        halo = C % 64 == 0 and os.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:

@@ -203,7 +203,13 @@ def _affine_coords_3d(theta, D, H, W, out_shape, out_offset):
     return _unnormalize(sz, D), _unnormalize(sy, H), _unnormalize(sx, W)
 
 
-_TILE = 8   # x-tile width of the tiled lowering (row = 4*2*_TILE*(C+1) lanes)
+import os as _os
+
+# x-tile width of the tiled lowering (gather row = 4*2*_TILE*(C+1) lanes).
+# Smaller tiles fetch fewer wasted lanes per output voxel (the interpolation
+# uses 2 x-lanes of the 2*_TILE fetched) at the cost of a denser pair table;
+# env-tunable for device probing (tools/probe_aug_tile.py).
+_TILE = int(_os.environ.get("CBIM_AUG_TILE", "8"))
 
 
 def _exact_int_bound(dtype) -> int:

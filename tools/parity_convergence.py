@@ -169,8 +169,11 @@ CONFIG3D_NNFORMER = dict(
     arch="nnformer",
     training_size=[16, 32, 32],
     window_size=[16, 32, 32],
-    epochs=20,
-    val_freq=20,
+    # at 20 epochs x 8 iters the reference trained degenerate (all-background,
+    # Dice 0 on every class/fold — 320 batch-2 steps is too few for the
+    # 149M-param nnFormer), so the budget is doubled.
+    epochs=40,
+    val_freq=40,
     aux_loss=True,
     aux_weight=[0.2, 0.3, 0.5],      # kits/nnformer_3d.yaml:21
     base_lr=0.0004,                  # kits/nnformer_3d.yaml:27
