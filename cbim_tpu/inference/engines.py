@@ -407,7 +407,10 @@ def make_engine(model, variables, cfg, window_batch: int | None = None):
             out = out[0]
         return out
 
-    wb = window_batch if window_batch is not None else getattr(cfg, "window_batch", 1)
+    # measured on v5e (AMOS eval shape, dedup'd grid, tools/bench_infer.py
+    # 2026-08-19): wb=1 0.494, wb=2 0.531, wb=3 0.537, wb=6 0.571 vols/s;
+    # 2 is the default (larger wb pads more when the window count is small)
+    wb = window_batch if window_batch is not None else getattr(cfg, "window_batch", 2)
     return InferenceEngine(apply_fn, cfg.classes,
                            window_size=getattr(cfg, "window_size", None),
                            window_batch=wb,

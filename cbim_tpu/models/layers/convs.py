@@ -152,6 +152,44 @@ class _PallasConvCW(nn.Module):
         return y
 
 
+class _SplitConvCW(nn.Module):
+    """NDHCW 3^3 conv over a CHANNEL-SPLIT input: ``parts`` are cw tensors
+    [B,D,H,C_i,W] whose virtual concat along C is the conv input.
+
+    conv(concat(a, b)) == conv_a(a) + conv_b(b) with the kernel sliced along
+    its input-channel axis, so the wide concat tensor (e.g. the 96-ch
+    128^3 decoder entry, ~1.6 GB at batch 4) never materializes in HBM.
+    The single ``kernel`` param keeps the exact nn.Conv/_PallasConvCW tree
+    (same shape, same init fan-in), so checkpoints and torch transplants are
+    unchanged."""
+    out_ch: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        import os
+        from ...ops.pallas.conv3d import conv3d_same_cw_t, conv3d_same_cw2_t
+        conv = (conv3d_same_cw2_t
+                if os.environ.get("CBIM_CW2", "0") == "1" else
+                conv3d_same_cw_t)
+        cs = [p.shape[3] for p in parts]
+        kernel = self.param("kernel", torch_conv_init,
+                            (3, 3, 3, sum(cs), self.out_ch), jnp.float32)
+        y = None
+        off = 0
+        for p, c in zip(parts, cs):
+            kk = jax.lax.slice_in_dim(kernel, off, off + c, axis=3)
+            t = conv(p.astype(self.dtype), kk.astype(self.dtype))
+            y = t if y is None else y + t
+            off += c
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)[:, None]
+        return y
+
+
 class _PallasConvCWNA(nn.Module):
     """Fused preact ConvNormAct in NDHCW layout: one Pallas program computes
     conv3x3(act(instance_norm(x))) with the norm+act applied per-tile in
@@ -316,6 +354,30 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ...ops.pallas import fused_norm as _fn
+        if isinstance(x, (tuple, list)):
+            # channel-split input (see _SplitConvCW): norm+act commute with
+            # the virtual channel concat because InstanceNorm stats are
+            # per-channel and the act is elementwise; preact order means the
+            # conv consumes act(norm(part)) per part.  Only valid for the
+            # param-free 'in' norm (BatchNorm would fork running stats).
+            assert self.preact and self.norm == "in" and self.cw \
+                and self.groups == 1, "split entry: preact cw InstanceNorm only"
+            nd_s = x[0].ndim - 2
+            assert _tuple(self.kernel_size, nd_s) == (3, 3, 3) \
+                and _tuple(self.stride, nd_s) == (1, 1, 1)
+            eps_s = 1e-4
+            parts = []
+            for t in x:
+                if t.ndim == 5 and _fn.usable_cw(self.norm, self.act):
+                    parts.append(_fn.instance_norm_act_cw(t, eps=eps_s,
+                                                          act=self.act))
+                else:
+                    t = Norm(self.norm, eps=eps_s, dtype=self.dtype,
+                             cw=True)(t, train)
+                    parts.append(get_act(self.act)(t))
+            return _SplitConvCW(self.out_ch, use_bias=self.use_bias,
+                                dtype=self.dtype, name="Conv_0")(tuple(parts))
         nd = x.ndim - 2
         k = _tuple(self.kernel_size, nd)
         s = _tuple(self.stride, nd)
@@ -425,8 +487,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        nd = x.ndim - 2
-        in_ch = x.shape[3] if self.cw else x.shape[-1]
+        split = isinstance(x, (tuple, list))
+        x0 = x[0] if split else x
+        nd = x0.ndim - 2
+        ch_ax = 3 if self.cw else -1
+        in_ch = (sum(t.shape[ch_ax] for t in x) if split
+                 else x.shape[ch_ax])
         out = ConvNormAct(self.out_ch, self.kernel_size, self.stride,
                           norm=self.norm, act=self.act, preact=self.preact,
                           dtype=self.dtype, cw=self.cw)(x, train)
@@ -439,6 +505,7 @@ class BasicBlock(nn.Module):
                                    norm=self.norm, act=self.act, preact=self.preact,
                                    dtype=self.dtype, cw=self.cw)(x, train)
         else:
+            assert not split, "split entry requires a conv shortcut"
             shortcut = x
         return out + shortcut
 

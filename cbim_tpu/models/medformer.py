@@ -407,7 +407,6 @@ class UpBlockMF3D(nn.Module):
         map_dim = self.out_ch if self.map_dim is None else self.map_dim
 
         x_low = resize_linear(x_low, x_skip.shape[1:-1])
-        feat = jnp.concatenate([x_low, x_skip], axis=-1)
 
         if self.map_shortcut and map2 is not None:
             semantic_map = jnp.concatenate([map1, map2], axis=-1)
@@ -417,6 +416,41 @@ class UpBlockMF3D(nn.Module):
         else:
             semantic_map = map1
 
+        # split entry: when the stage runs its conv blocks in cw layout and
+        # the first block is a preact InstanceNorm BasicBlock, feed the
+        # (x_low, x_skip) pair instead of their channel concat — the concat
+        # commutes through per-channel norm + elementwise act into sliced
+        # conv kernels (_SplitConvCW), so the wide entry tensor (96 ch at
+        # full res in the flagship config) never exists in HBM, and the two
+        # layout transposes move half the bytes.  OPT-IN (CBIM_SPLIT_ENTRY=1):
+        # the batch-4 step bench measured it slower (2.681 vs 2.831
+        # vols/s/chip, v5e 2026-08-19) — two half-width cw convs lose more to
+        # tile-edge waste than the skipped concat saves; parity-tested in
+        # tests/test_split_entry.py for callers that measure otherwise.
+        import os as _os
+        cat_shape = jax.ShapeDtypeStruct(
+            (*x_skip.shape[:-1], x_low.shape[-1] + x_skip.shape[-1]),
+            x_skip.dtype)
+        split = (self.trans_num == 0 and self.conv_num > 0
+                 and self.conv_block == "BasicBlock" and self.norm == "in"
+                 and _stage_cw_ok(cat_shape, self.norm, self.kernel_size)
+                 and x_low.shape[-1] % 8 == 0 and x_skip.shape[-1] % 8 == 0
+                 and x_low.shape[-1] <= 128 and x_skip.shape[-1] <= 128
+                 # identity-shortcut blocks would re-materialize the concat
+                 and x_low.shape[-1] + x_skip.shape[-1] != self.out_ch
+                 and _os.environ.get("CBIM_SPLIT_ENTRY", "0") == "1")
+        blk = get_block_cls(self.conv_block)
+        if split:
+            out = blk(self.out_ch, kernel_size=self.kernel_size,
+                      norm=self.norm, act=self.act, dtype=self.dtype,
+                      cw=True)((to_cw(x_low), to_cw(x_skip)), train)
+            for _ in range(self.conv_num - 1):
+                out = blk(self.out_ch, kernel_size=self.kernel_size,
+                          norm=self.norm, act=self.act, dtype=self.dtype,
+                          cw=True)(out, train)
+            return from_cw(out), semantic_map
+
+        feat = jnp.concatenate([x_low, x_skip], axis=-1)
         out = feat
         if self.trans_num > 0:
             out, semantic_map = BasicLayer(
@@ -425,7 +459,6 @@ class UpBlockMF3D(nn.Module):
                 self.norm, self.act, self.kernel_size,
                 no_map_out=self.no_map_out, dtype=self.dtype)(
                     out, semantic_map, train)
-        blk = get_block_cls(self.conv_block)
         cw = self.conv_num > 0 and self.conv_block in _CW_BLOCKS and \
             _stage_cw_ok(out, self.norm, self.kernel_size)
         if cw:

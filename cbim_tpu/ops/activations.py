@@ -67,8 +67,14 @@ def _erf_poly(t32: jax.Array) -> jax.Array:
 def fast_gelu(x: jax.Array) -> jax.Array:
     """Exact-form GELU (0.5*x*(1+erf(x/sqrt(2)))) with erf evaluated by the
     polynomial above when ``x`` is bf16; falls through to jax.nn.gelu
-    (XLA erf) for every other dtype.  CBIM_FAST_GELU=0 disables."""
-    if x.dtype != jnp.bfloat16 or os.environ.get("CBIM_FAST_GELU", "1") == "0":
+    (XLA erf) for every other dtype.
+
+    OPT-IN (CBIM_FAST_GELU=1): the step-level bench measured the polynomial
+    *slower* than XLA erf on v5e (batch-4 flagship step 2.732 vs 2.831
+    vols/s/chip, 2026-08-19) — the f32 upcast + two Horner chains cost more
+    than the erfc/exp branch XLA fuses into the surrounding ops.  Kept for
+    elementwise-bound callers that measure otherwise."""
+    if x.dtype != jnp.bfloat16 or os.environ.get("CBIM_FAST_GELU", "0") != "1":
         return jax.nn.gelu(x, approximate=False)
     x32 = x.astype(jnp.float32)
     y = 0.5 * x32 * (1.0 + _erf_poly(x32 * _INV_SQRT2))

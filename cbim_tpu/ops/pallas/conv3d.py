@@ -314,13 +314,14 @@ def _conv3d_same_pallas(x: jax.Array, w: jax.Array, interpret: bool,
     # tests force pad_c=True / halo=True so both arithmetics are covered
     # without hardware.
     if halo is None:
-        # opt-in until the on-device Mosaic compile is verified (the cw
-        # kernels' halo DMA is device-proven, this kernel context is not).
-        # C % 64 == 0 also rides the halo DMA (minor dim = one bf16 sublane
-        # tile): the r3 profile showed the 64^3 C=64 stages' pre-pads
-        # (64 -> 128 lane pad + D/H/W borders) at ~27 ms/step.
+        # C % 128 only: the halo DMA needs a 128-lane-aligned minor dim —
+        # C = 64 was tried (to kill the 64^3 stages' ~27 ms/step pre-pads)
+        # and the Mosaic compile rejects it (remote_compile 500, 2026-08-19).
+        # At C % 128 the device path is parity-verified (halo == padded ==
+        # f32 oracle to 7e-4 at (2,16,32,32,128)); opt-in because the
+        # flagship config has no eligible 3^3 NDHWC stage at C % 128 == 0.
         import os as _os2
-        halo = C % 64 == 0 and _os2.environ.get("CBIM_PLHALO") == "1"
+        halo = C % 128 == 0 and _os2.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:
@@ -606,9 +607,9 @@ def conv3d_wgrad(x: jax.Array, g: jax.Array,
 
     Wp = _round_up(W + 2, 8)
     if halo is None:
-        # lane-dense or sublane-tile C: skip the pre-pad (see fwd); opt-in
-        # until verified
-        halo = C % 64 == 0 and os.environ.get("CBIM_PLHALO") == "1"
+        # lane-dense C only: skip the pre-pad (see fwd; C=64 rejected by
+        # Mosaic)
+        halo = C % 128 == 0 and os.environ.get("CBIM_PLHALO") == "1"
     if halo:
         pad_c = False
     if pad_c is None:

@@ -208,8 +208,9 @@ import os as _os
 # x-tile width of the tiled lowering (gather row = 4*2*_TILE*(C+1) lanes).
 # Smaller tiles fetch fewer wasted lanes per output voxel (the interpolation
 # uses 2 x-lanes of the 2*_TILE fetched) at the cost of a denser pair table;
-# env-tunable for device probing (tools/probe_aug_tile.py).
-_TILE = int(_os.environ.get("CBIM_AUG_TILE", "8"))
+# env-tunable (tools/probe_aug_tile.py).  Measured on v5e, B=4 158^3->128^3,
+# bit-identical outputs: T=8 165 ms, T=4 139 ms -> default 4.
+_TILE = int(_os.environ.get("CBIM_AUG_TILE", "4"))
 
 
 def _exact_int_bound(dtype) -> int:

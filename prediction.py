@@ -47,8 +47,9 @@ def get_parser():
     parser.add_argument("--normalize", type=str, default=None,
                         help="normalization preset (defaults to --dataset)")
     parser.add_argument("--config_root", type=str, default=None)
-    parser.add_argument("--window_batch", type=int, default=1,
-                    help="windows per forward; 1 is the measured optimum on v5e")
+    parser.add_argument("--window_batch", type=int, default=2,
+                    help="windows per forward (v5e measured: 2 beats 1 by ~8%%; "
+                         "6 peaks at +16%% when the window count divides it)")
     parser.add_argument("--platform", type=str, default=None)
     return parser.parse_args()
 

@@ -1,5 +1,10 @@
-"""fast_gelu (polynomial-erf GELU for bf16) accuracy tests."""
+"""fast_gelu (polynomial-erf GELU for bf16) accuracy tests.
+
+The polynomial path is opt-in (measured slower at step level on v5e,
+docs/benchmarks.md round-3 sweep); force it on here to test its accuracy.
+"""
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -7,6 +12,12 @@ import jax
 import jax.numpy as jnp
 
 from cbim_tpu.ops.activations import fast_gelu, _erf_poly
+
+
+@pytest.fixture(autouse=True)
+def _force_fast_gelu(monkeypatch):
+    # the gate is read at call time, so a per-test env patch suffices
+    monkeypatch.setenv("CBIM_FAST_GELU", "1")
 
 
 def test_f32_path_is_exact_gelu():
