@@ -185,10 +185,13 @@ CONFIG3D_NNFORMER = dict(
 CONFIGS_3D = {"medformer": CONFIG3D, "nnformer": CONFIG3D_NNFORMER}
 
 
-def _cfg_for(dim: str, arch: str | None):
-    if dim != "3d":
-        return CONFIG
-    return CONFIGS_3D[arch or "medformer"]
+def _cfg_for(dim: str, arch: str | None, epochs: int | None = None):
+    cfg = CONFIG if dim != "3d" else CONFIGS_3D[arch or "medformer"]
+    if epochs:
+        # identical-budget override for both sides; eval only at the end
+        # (mid-run sliding-window evals cost ~5 min/fold on this 1-core box)
+        cfg = dict(cfg, epochs=epochs, val_freq=epochs)
+    return cfg
 
 
 # ---------------------------------------------------------------- phantom data
@@ -259,9 +262,9 @@ def generate(workdir: str, dim: str = "2d", arch: str | None = None):
 
 
 def _write_config(workdir: str, data_root: str, dim: str = "2d",
-                  arch: str | None = None):
+                  arch: str | None = None, epochs: int | None = None):
     import yaml
-    cfg = dict(_cfg_for(dim, arch))
+    cfg = dict(_cfg_for(dim, arch, epochs))
     cfg["data_root"] = data_root
     cdir = os.path.join(workdir, "config", "acdc")
     os.makedirs(cdir, exist_ok=True)
@@ -272,12 +275,13 @@ def _write_config(workdir: str, data_root: str, dim: str = "2d",
 
 
 # ---------------------------------------------------------------- ref harness
-def run_reference(workdir: str, dim: str = "2d", arch: str | None = None):
+def run_reference(workdir: str, dim: str = "2d", arch: str | None = None,
+                  epochs: int | None = None):
     """Run /root/reference/train.py on torch-CPU against the phantom data."""
     import types
 
     data_root = os.path.join(workdir, "data")
-    _write_config(workdir, data_root, dim, arch)
+    _write_config(workdir, data_root, dim, arch, epochs)
     model = _cfg_for(dim, arch)["arch"]
     batch = BATCH_3D if dim == "3d" else BATCH
 
@@ -345,9 +349,10 @@ def run_reference(workdir: str, dim: str = "2d", arch: str | None = None):
 
 
 # ---------------------------------------------------------------- ours
-def run_ours(workdir: str, dim: str = "2d", arch: str | None = None):
+def run_ours(workdir: str, dim: str = "2d", arch: str | None = None,
+             epochs: int | None = None):
     data_root = os.path.join(workdir, "data")
-    config_root = _write_config(workdir, data_root, dim, arch)
+    config_root = _write_config(workdir, data_root, dim, arch, epochs)
     model = _cfg_for(dim, arch)["arch"]
     batch = BATCH_3D if dim == "3d" else BATCH
     # PARITY_PLATFORM=tpu runs our side on the ambient TPU backend (the
@@ -417,10 +422,17 @@ def main():
     ap.add_argument("--dim", default="2d", choices=["2d", "3d"])
     ap.add_argument("--arch", default=None, choices=[None, "medformer", "nnformer"],
                     help="3d recipe to run (default: medformer)")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="identical-budget epoch override for ref/ours runs "
+                         "(eval only at the end)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
-    {"gen": generate, "ref": run_reference, "ours": run_ours,
-     "report": report}[args.mode](args.workdir, args.dim, args.arch)
+    if args.mode in ("ref", "ours"):
+        fn = run_reference if args.mode == "ref" else run_ours
+        fn(args.workdir, args.dim, args.arch, args.epochs)
+    else:
+        {"gen": generate, "report": report}[args.mode](
+            args.workdir, args.dim, args.arch)
 
 
 if __name__ == "__main__":
