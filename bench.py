@@ -26,6 +26,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_VOLS_PER_SEC = 5.0  # reference GPU aug path, 160^3 (docs/change.md:7)
+V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip dense bf16 peak (v5e datasheet)
+
+
+def _step_tflops(step, args):
+    """TFLOPs the compiled train step executes, from XLA's cost analysis.
+
+    NOTE: this counts *executed* HLO flops, which under remat includes the
+    recomputed forward — so mfu below is hardware-flop utilization (an upper
+    bound on model-flop utilization).  It is still the right number for
+    deciding whether the 5.0 vols/s north star is reachable by kernel work
+    (low mfu) or needs a batch/layout rethink (high mfu, flop-bound)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops / 1e12 if flops > 0 else None
+    except Exception as e:  # never let accounting break the headline metric
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
 
 
 def build(batch_size: int):
@@ -101,7 +121,8 @@ def run(batch_size: int, warmup: int = 2, iters: int = 20):
             img, lab = pipe.next_batch(batch_size)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    tflops = _step_tflops(step, (state, img, lab, lr))
+    return batch_size * iters / dt, dt / iters, tflops
 
 
 def _check_backend_reachable(timeout_s: float = 600.0) -> None:
@@ -128,7 +149,7 @@ def main():
     # batch 4 fits in HBM with remat-all and measured +6% over batch 2
     # (2.789 vs 2.624 vols/s/chip, docs/benchmarks.md round 3)
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "4,2,1").split(",")]
-    value = None
+    value = sec_per_step = tflops = None
     last_err = None
     for b in batches:
         # Retry each batch size once: transient tunnel errors (e.g.
@@ -138,7 +159,7 @@ def main():
         # through to the next batch size.
         for attempt in range(2):
             try:
-                value = run(b)
+                value, sec_per_step, tflops = run(b)
                 break
             except Exception as e:
                 last_err = e
@@ -149,12 +170,18 @@ def main():
             break
     if value is None:
         raise SystemExit(f"bench failed: {last_err}")
-    print(json.dumps({
+    out = {
         "metric": "aug_train_medformer3d_128c_volumes_per_sec_per_chip",
         "value": round(value, 4),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / BASELINE_VOLS_PER_SEC, 4),
-    }))
+    }
+    if tflops is not None and sec_per_step:
+        out["step_tflops"] = round(tflops, 2)
+        out["sec_per_step"] = round(sec_per_step, 4)
+        # executed-flop utilization vs v5e bf16 peak (see _step_tflops note)
+        out["mfu"] = round(tflops / sec_per_step / V5E_PEAK_BF16_TFLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

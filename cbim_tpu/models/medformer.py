@@ -436,6 +436,9 @@ class UpBlockMF3D(nn.Module):
                  and _stage_cw_ok(cat_shape, self.norm, self.kernel_size)
                  and x_low.shape[-1] % 8 == 0 and x_skip.shape[-1] % 8 == 0
                  and x_low.shape[-1] <= 128 and x_skip.shape[-1] <= 128
+                 # the split path calls conv3d_same_cw_t unconditionally, so
+                 # the output side must satisfy the same Pallas envelope
+                 and self.out_ch % 8 == 0 and self.out_ch <= 128
                  # identity-shortcut blocks would re-materialize the concat
                  and x_low.shape[-1] + x_skip.shape[-1] != self.out_ch
                  and _os.environ.get("CBIM_SPLIT_ENTRY", "0") == "1")

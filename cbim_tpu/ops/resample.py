@@ -210,7 +210,13 @@ import os as _os
 # uses 2 x-lanes of the 2*_TILE fetched) at the cost of a denser pair table;
 # env-tunable (tools/probe_aug_tile.py).  Measured on v5e, B=4 158^3->128^3,
 # bit-identical outputs: T=8 165 ms, T=4 139 ms -> default 4.
-_TILE = int(_os.environ.get("CBIM_AUG_TILE", "4"))
+try:
+    _TILE = int(_os.environ.get("CBIM_AUG_TILE", "4"))
+except ValueError:  # malformed env value must not break import
+    import warnings as _warnings
+    _warnings.warn("CBIM_AUG_TILE=%r is not an int; using 4"
+                   % _os.environ.get("CBIM_AUG_TILE"))
+    _TILE = 4
 
 
 def _exact_int_bound(dtype) -> int:
