@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.activations import fast_gelu as _fast_gelu
+from ...ops.depthwise import usable as _dw_usable
 
 KernelArg = Union[int, Sequence[int]]
 
@@ -215,6 +216,31 @@ class _PallasConvCWNA(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
                               jnp.float32)
             y = y + bias.astype(y.dtype)[:, None]
+        return y
+
+
+class _DepthwiseTapConv(nn.Module):
+    """Drop-in for nn.Conv(features=C, feature_group_count=C, SAME, stride 1)
+    computed as an explicit tap-sum (ops/depthwise.py) — the TPU grouped-conv
+    lowering's backward emits per-group custom calls measured at ~13 ms each
+    at the flagship MBConv shapes; the tap-sum form fuses to one stencil loop
+    fw and bw.  Same parameter tree as nn.Conv (params 'kernel'/'bias', the
+    grouped kernel shape (*k, 1, C), same fan-in init), so checkpoints and
+    torch transplants are unchanged."""
+    kernel_size: tuple
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.depthwise import depthwise_conv
+        C = x.shape[-1]
+        kernel = self.param("kernel", torch_conv_init,
+                            (*self.kernel_size, 1, C), jnp.float32)
+        y = depthwise_conv(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -427,6 +453,11 @@ class ConvNormAct(nn.Module):
                                    self.out_ch):
             conv = _PallasConv3x3_2D(self.out_ch, use_bias=self.use_bias,
                                      dtype=self.dtype, name="Conv_0")
+        elif (self.groups == x.shape[-1] == self.out_ch
+              and p == tuple(ki // 2 for ki in k) and _dw_usable(k, s, d)):
+            # pure depthwise (MBConv's expanded 3^d conv): tap-sum fast path
+            conv = _DepthwiseTapConv(k, use_bias=self.use_bias,
+                                     dtype=self.dtype, name="Conv_0")
         else:
             conv = nn.Conv(self.out_ch, kernel_size=k, strides=s,
                            padding=[(pi, pi) for pi in p], kernel_dilation=d,
@@ -557,12 +588,19 @@ class DepthwiseSeparableConv(nn.Module):
         nd = x.ndim - 2
         in_ch = x.shape[-1]
         k = _tuple(self.kernel_size, nd)
+        s = _tuple(self.stride, nd)
         p = [(ki // 2, ki // 2) for ki in k]
-        x = nn.Conv(in_ch, kernel_size=k, strides=_tuple(self.stride, nd),
-                    padding=p, feature_group_count=in_ch, use_bias=self.use_bias,
-                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+        if _dw_usable(k, s, None):
+            x = _DepthwiseTapConv(k, use_bias=self.use_bias,
+                                  dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(in_ch, kernel_size=k, strides=s, padding=p,
+                        feature_group_count=in_ch, use_bias=self.use_bias,
+                        kernel_init=torch_conv_init, dtype=self.dtype,
+                        name="Conv_0")(x)
         x = nn.Conv(self.out_ch, kernel_size=(1,) * nd, use_bias=self.use_bias,
-                    kernel_init=torch_conv_init, dtype=self.dtype)(x)
+                    kernel_init=torch_conv_init, dtype=self.dtype,
+                    name="Conv_1")(x)
         return x
 
 
@@ -688,13 +726,17 @@ class ConvNeXtBlock(nn.Module):
         in_ch = x.shape[-1]
         k = _tuple(self.kernel_size, nd)
         residual = x
-        x = nn.Conv(in_ch, kernel_size=k,
-                    padding=[(ki // 2, ki // 2) for ki in k],
-                    feature_group_count=in_ch, kernel_init=torch_conv_init,
-                    dtype=self.dtype)(x)
+        if _dw_usable(k, (1,) * nd, None):
+            x = _DepthwiseTapConv(k, use_bias=True, dtype=self.dtype,
+                                  name="Conv_0")(x)
+        else:
+            x = nn.Conv(in_ch, kernel_size=k,
+                        padding=[(ki // 2, ki // 2) for ki in k],
+                        feature_group_count=in_ch, kernel_init=torch_conv_init,
+                        dtype=self.dtype, name="Conv_0")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * in_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
-        x = fast_gelu(x)
+        x = _fast_gelu(x)
         x = nn.Dense(self.out_ch, kernel_init=torch_conv_init, dtype=self.dtype)(x)
         if self.layer_scale_init_value > 0:
             gamma_p = self.param("layer_scale",
