@@ -54,13 +54,27 @@ def _dedup_starts(starts: np.ndarray):
     (split_idx, reference inference/utils.py:29-43) and lands on an existing
     start.  A revisit contributes an identical (prob x importance, count)
     pair, so running the window once and scaling by the integer multiplicity
-    is numerically equivalent (m is a power of two — one repeat per axis —
-    and m*q == q+...+q exactly in fp) while saving the duplicate forwards:
+    is numerically equivalent up to fp summation order (m*q == q+...+q is
+    exact in isolation, but at voxels where other windows' contributions
+    interleave between duplicate visits the reordering can differ at ulp
+    level under fp32 non-associativity) while saving the duplicate forwards:
     the AMOS eval shape 160x256x256 / 128^3 window drops from 32 to 18
     forwards.  The grid is lexicographically non-decreasing, so np.unique's
     sorted output preserves the reference's visit order."""
     uniq, mult = np.unique(starts, axis=0, return_counts=True)
     return uniq.astype(np.int32), mult.astype(np.float32)
+
+
+def _auto_window_batch(n_windows: int, cap: int = 6) -> int:
+    """Largest window_batch <= cap that divides the unique-window count, so
+    no group carries padded (wasted) forwards.  Measured on v5e at the AMOS
+    eval shape (18 unique windows): wb=6 0.571 vs the old global default
+    wb=2 0.531 vols/s (docs/benchmarks.md).  Falls back to 2 when nothing
+    in [2, cap] divides n (padding one group of 2 wastes at most 1 forward)."""
+    for wb in range(cap, 1, -1):
+        if n_windows % wb == 0:
+            return wb
+    return 2
 
 
 class InferenceEngine:
@@ -71,22 +85,45 @@ class InferenceEngine:
     """
 
     def __init__(self, apply_fn, num_classes: int, window_size=None,
-                 window_batch: int = 1, fusion: str = "uniform",
-                 gaussian_sigma_scale: float = 0.125):
+                 window_batch: int | str | None = 1, fusion: str = "uniform",
+                 gaussian_sigma_scale: float = 0.125, variables=None):
         """fusion: 'uniform' (reference semantics, inference3d.py:61-88) or
         'gaussian' — center-weighted window importance (the nnU-Net-style
         fusion whose machinery the reference vendors but never wires up,
         nnformer_utils.py:113-119); opt-in, usually slightly better Dice at
-        window seams."""
+        window seams.
+
+        ``variables``: when given, ``apply_fn(variables, img) -> logits`` and
+        the variables ride every compiled program as a TRACED argument.
+        Without it (legacy 1-arg ``apply_fn(img)``), closed-over weights are
+        baked into the HLO as constants — which recompiles on every weight
+        swap (each eval epoch, each ensemble member) and, on tunneled
+        backends, can exceed the remote-compile upload limit outright
+        (observed: nnFormer's ~600 MB param constants -> HTTP 413).  Swap
+        weights without recompiling via :meth:`set_variables`."""
+        if variables is None:
+            self._apply = lambda v, x: apply_fn(x)
+            self.variables = ()
+        else:
+            self._apply = apply_fn
+            self.variables = variables
         self.apply_fn = apply_fn
         self.num_classes = num_classes
         self.window_size = tuple(window_size) if window_size else None
-        self.window_batch = max(1, int(window_batch))
+        # None/"auto": pick per volume shape in _prepare_windows
+        self.window_batch = (None if window_batch in (None, "auto")
+                             else max(1, int(window_batch)))
         assert fusion in ("uniform", "gaussian")
         self.fusion = fusion
         self.gaussian_sigma_scale = gaussian_sigma_scale
         self._whole_cache = {}
         self._sw_cache = {}
+
+    def set_variables(self, variables):
+        """Swap model weights without recompiling (same pytree structure)."""
+        assert self.variables != (), \
+            "engine was built with a closure apply_fn; pass variables= at init"
+        self.variables = variables
 
     def _importance(self, window):
         if self.fusion == "uniform":
@@ -108,11 +145,11 @@ class InferenceEngine:
         """img: (B, *spatial, C) -> softmax probs (B, *spatial, classes)."""
         key = ("whole", img.shape)
         if key not in self._whole_cache:
-            def fn(x):
-                logits = self.apply_fn(x)
+            def fn(v, x):
+                logits = self._apply(v, x)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             self._whole_cache[key] = jax.jit(fn)
-        return self._whole_cache[key](img)
+        return self._whole_cache[key](self.variables, img)
 
     def whole_image_sharded(self, img: jax.Array, mesh, axis: str = "data"
                             ) -> jax.Array:
@@ -133,14 +170,16 @@ class InferenceEngine:
                tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
         if key not in self._whole_cache:
             sharding = NamedSharding(mesh, P(axis))
+            replicated = NamedSharding(mesh, P())
 
-            def fn(x):
-                logits = self.apply_fn(x)
+            def fn(v, x):
+                logits = self._apply(v, x)
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
             self._whole_cache[key] = jax.jit(
-                fn, in_shardings=sharding, out_shardings=sharding)
-        probs = self._whole_cache[key](img)
+                fn, in_shardings=(replicated, sharding),
+                out_shardings=sharding)
+        probs = self._whole_cache[key](self.variables, img)
         return probs[:B] if pad else probs
 
     # -- sliding window -------------------------------------------------------
@@ -164,6 +203,8 @@ class InferenceEngine:
         starts, mult = _dedup_starts(_grid_starts(padded_spatial, window))
         n = starts.shape[0]
         wb = self.window_batch
+        if wb is None:
+            wb = _auto_window_batch(n)
         n_pad = (-n) % (wb * group_multiple)
         valid = np.concatenate([mult, np.zeros(n_pad, np.float32)])
         starts = np.concatenate([starts, np.tile(starts[:1], (n_pad, 1))], axis=0)
@@ -207,11 +248,12 @@ class InferenceEngine:
             sweep = self._sw_sweep(padded_spatial, self.window_size, wb)
             cnt = jnp.asarray(self._count_map(padded_spatial, starts, valid))
 
-            def run(img, starts, valid):
-                return sweep(img, starts, valid) / cnt
+            def run(v, img, starts, valid):
+                return sweep(v, img, starts, valid) / cnt
 
             self._sw_cache[key] = jax.jit(run)
-        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
+        probs = self._sw_cache[key](self.variables, img_p,
+                                    jnp.asarray(starts), jnp.asarray(valid))
         return self._crop_pads(probs, pads, spatial)
 
     # -- sliding window, 2D slice-batch form ----------------------------------
@@ -243,13 +285,13 @@ class InferenceEngine:
         key = ("sw2d", B, padded_spatial, img.shape[-1])
         if key not in self._sw_cache:
             C = self.num_classes
-            apply_fn = self.apply_fn
+            apply_fn = self._apply
             importance = jnp.asarray(self._importance(window))   # (wh, ww, 1)
             cnt = jnp.asarray(
                 self._count_map(padded_spatial, starts[:, None, :],
                                 mult[:, None]))                  # (1, H, W, 1)
 
-            def run(img, starts, mult):
+            def run(v, img, starts, mult):
                 acc = jnp.zeros((B, *padded_spatial, C), jnp.float32)
 
                 def body(acc, sm):
@@ -257,7 +299,7 @@ class InferenceEngine:
                     idx = (0, s[0], s[1], 0)
                     win = jax.lax.dynamic_slice(
                         img, idx, (B, *window, img.shape[-1]))
-                    logits = apply_fn(win)
+                    logits = apply_fn(v, win)
                     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                     cur = jax.lax.dynamic_slice(acc, idx, (B, *window, C))
                     acc = jax.lax.dynamic_update_slice(
@@ -268,7 +310,8 @@ class InferenceEngine:
                 return acc / cnt
 
             self._sw_cache[key] = jax.jit(run)
-        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(mult))
+        probs = self._sw_cache[key](self.variables, img_p,
+                                    jnp.asarray(starts), jnp.asarray(mult))
         return self._crop_pads(probs, pads, spatial)
 
     def sliding_window_slices_sharded(self, img: jax.Array, mesh,
@@ -315,7 +358,8 @@ class InferenceEngine:
             cnt = self._count_map(padded_spatial, starts, valid)
             self._sw_cache[key] = self._build_sw_sharded(
                 padded_spatial, self.window_size, wb, mesh, axis, cnt)
-        probs = self._sw_cache[key](img_p, jnp.asarray(starts), jnp.asarray(valid))
+        probs = self._sw_cache[key](self.variables, img_p,
+                                    jnp.asarray(starts), jnp.asarray(valid))
         return self._crop_pads(probs, pads, spatial)
 
     def _sw_sweep(self, spatial, window, wb):
@@ -326,10 +370,10 @@ class InferenceEngine:
         :meth:`_count_map` constant."""
         nd = len(window)
         C = self.num_classes
-        apply_fn = self.apply_fn
+        apply_fn = self._apply
         importance = jnp.asarray(self._importance(window))   # (*window, 1)
 
-        def sweep(img, starts, valid):
+        def sweep(v, img, starts, valid):
             # img: (1, *spatial, C_in); starts: (groups, wb, nd)
             acc = jnp.zeros((1, *spatial, C), jnp.float32)
 
@@ -341,7 +385,7 @@ class InferenceEngine:
             def body(acc, sv):
                 s_grp, v_grp = sv                       # (wb, nd), (wb,)
                 wins = jax.vmap(extract)(s_grp)          # (wb, *window, C_in)
-                logits = apply_fn(wins)
+                logits = apply_fn(v, wins)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
                 def scatter(acc, i):
@@ -367,14 +411,14 @@ class InferenceEngine:
         sweep = self._sw_sweep(spatial, window, wb)
         cnt = jnp.asarray(cnt)
 
-        def local(img, starts, valid):
-            acc = sweep(img, starts, valid)
+        def local(v, img, starts, valid):
+            acc = sweep(v, img, starts, valid)
             acc = jax.lax.psum(acc, axis)
             return acc / cnt
 
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis)),
             out_specs=P(),
             check_vma=False)  # psum makes the output replicated
         return jax.jit(sharded)
@@ -401,17 +445,20 @@ def make_engine(model, variables, cfg, window_batch: int | None = None):
     Deep-supervision models return a list of heads; head[0] is used
     (reference inference3d.py:22-24,79-81).
     """
-    def apply_fn(x):
-        out = model.apply(variables, x, train=False)
+    def apply_fn(v, x):
+        out = model.apply(v, x, train=False)
         if isinstance(out, (tuple, list)):
             out = out[0]
         return out
 
     # measured on v5e (AMOS eval shape, dedup'd grid, tools/bench_infer.py
     # 2026-08-19): wb=1 0.494, wb=2 0.531, wb=3 0.537, wb=6 0.571 vols/s;
-    # 2 is the default (larger wb pads more when the window count is small)
-    wb = window_batch if window_batch is not None else getattr(cfg, "window_batch", 2)
+    # default "auto" picks the largest wb <= 6 dividing the per-shape
+    # unique-window count (= 6 at the AMOS shape), see _auto_window_batch
+    wb = window_batch if window_batch is not None \
+        else getattr(cfg, "window_batch", "auto")
     return InferenceEngine(apply_fn, cfg.classes,
                            window_size=getattr(cfg, "window_size", None),
                            window_batch=wb,
-                           fusion=getattr(cfg, "window_fusion", "uniform"))
+                           fusion=getattr(cfg, "window_fusion", "uniform"),
+                           variables=variables)

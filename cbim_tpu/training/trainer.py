@@ -152,6 +152,11 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         logging.info("Initialized from torch checkpoint %s", cfg.init_model)
 
     if cfg.dimension == "2d":
+        # epoch length matches the reference DataLoader (slice_count/batch),
+        # but sampling is WITH replacement (pipeline.host_batch) whereas the
+        # reference shuffles without replacement per epoch — identical in
+        # expectation, per-epoch coverage statistics differ slightly
+        # (docs/benchmarks.md "2D epoch semantics")
         iters = max(1, len(trainset.images) // cfg.batch_size)
     else:
         iters = cfg.iter_per_epoch
@@ -164,6 +169,10 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
     best_mean = 0.0
 
     global_step = int(state.step)
+    # one engine per fold: weights are traced arguments of its compiled
+    # programs, so per-epoch evals swap them without recompiling
+    from ..inference.engines import make_engine
+    eval_engine = make_engine(model, eval_variables(state, cfg.ema), cfg)
     for epoch in range(start_epoch, cfg.epochs):
         lr = exp_lr_scheduler_with_warmup(cfg.base_lr, epoch, warmup_epoch=5,
                                           max_epoch=cfg.epochs)
@@ -227,7 +236,7 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         if (epoch + 1) % cfg.val_freq == 0:
             variables = eval_variables(state, cfg.ema)
             dice, asd, hd = validate(model, variables, testset, cfg,
-                                     mesh=mesh)
+                                     mesh=mesh, engine=eval_engine)
             dice, asd, hd = filter_validation_results(dice, asd, hd, cfg)
             log_evaluation_result(writer, dice, asd, hd, "test", epoch)
             if np.nanmean(dice) >= best_mean:

@@ -38,7 +38,7 @@ def filter_validation_results(dice, asd, hd, cfg):
 
 
 def validate(model, variables, testset, cfg, compute_distance: bool = True,
-             mesh=None):
+             mesh=None, engine=None):
     """Returns (dice, asd, hd) arrays of length classes-1 (background excluded).
 
     Multi-host: each process evaluates a strided subset of the test volumes
@@ -53,7 +53,13 @@ def validate(model, variables, testset, cfg, compute_distance: bool = True,
     per-VOLUME multi-chip parallelism, instead of (or in addition to) the
     per-volume process striding above.
     """
-    engine = make_engine(model, variables, cfg)
+    # variables ride the engine's compiled programs as traced arguments, so a
+    # caller-held engine (trainer.py keeps one per fold) swaps weights each
+    # eval epoch without re-tracing or recompiling
+    if engine is None:
+        engine = make_engine(model, variables, cfg)
+    else:
+        engine.set_variables(variables)
     C = cfg.classes
     shard_windows = (mesh is not None and "data" in getattr(mesh, "shape", {})
                      and mesh.shape["data"] > 1)

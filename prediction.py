@@ -47,9 +47,10 @@ def get_parser():
     parser.add_argument("--normalize", type=str, default=None,
                         help="normalization preset (defaults to --dataset)")
     parser.add_argument("--config_root", type=str, default=None)
-    parser.add_argument("--window_batch", type=int, default=2,
-                    help="windows per forward (v5e measured: 2 beats 1 by ~8%%; "
-                         "6 peaks at +16%% when the window count divides it)")
+    parser.add_argument("--window_batch", default="auto",
+                    help="windows per forward: an int, or 'auto' (default) = "
+                         "largest wb <= 6 dividing the per-shape window count "
+                         "(v5e measured: 6 is +16%% over 2 at the AMOS shape)")
     parser.add_argument("--platform", type=str, default=None)
     return parser.parse_args()
 
@@ -156,15 +157,19 @@ def main():
             if "batch_stats" in init_vars:
                 variables["batch_stats"] = init_vars["batch_stats"]
 
-        def apply_fn(x, variables=variables):
-            out = model.apply(variables, x, train=False)
+        def apply_fn(v, x):
+            out = model.apply(v, x, train=False)
             if isinstance(out, (tuple, list)):
                 out = out[0]
             return out
 
+        # variables are traced arguments, so ensemble members with the same
+        # architecture share ONE compiled program (engines after the first
+        # reuse the persistent compile cache entry)
         engines.append(InferenceEngine(apply_fn, cfg.classes,
                                        window_size=cfg.window_size,
-                                       window_batch=args.window_batch))
+                                       window_batch=args.window_batch,
+                                       variables=variables))
         print(f"Model loaded from {ckpt}")
 
     os.makedirs(args.save_path, exist_ok=True)
