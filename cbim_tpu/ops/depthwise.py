@@ -36,8 +36,15 @@ import numpy as np
 def usable(k: tuple, stride: tuple, dilation: tuple = None) -> bool:
     """Fast path covers stride-1, dilation-1, odd-kernel depthwise convs
     (every depthwise site in the model zoo: 3^d MBConv/DWSep, 7^d ConvNeXt).
-    CBIM_DW=0 falls back to the XLA grouped-conv lowering."""
-    if os.environ.get("CBIM_DW", "1") == "0":
+
+    OPT-IN (CBIM_DW=1): on device the backward of the tap-sum at the
+    flagship's largest depthwise site (PatchMerging projection,
+    bf16[4,64,64,64,256]) fails to fuse — XLA materializes several shifted
+    512 MB bf16 temps plus the f32 accumulator and the batch-4 train step
+    exceeds HBM by 1.4 GB (v5e 16 GB, 2026-08-20).  The XLA grouped-conv
+    lowering stays the default until the stencil is reformulated to fuse
+    (or tiled via Pallas)."""
+    if os.environ.get("CBIM_DW", "0") != "1":
         return False
     if any(s != 1 for s in stride):
         return False

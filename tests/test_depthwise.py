@@ -96,9 +96,14 @@ def test_module_parity_with_grouped_conv(monkeypatch, module, kwargs, shape):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_usable_gates():
+def test_usable_gates(monkeypatch):
+    monkeypatch.setenv("CBIM_DW", "1")
     assert usable((3, 3, 3), (1, 1, 1))
     assert usable((7, 7), (1, 1))
     assert not usable((3, 3, 3), (2, 2, 2))      # strided -> XLA path
     assert not usable((4, 4), (1, 1))            # even kernel
     assert not usable((3, 3, 3), (1, 1, 1), (2, 2, 2))  # dilated
+    # opt-in: default (unset) is the XLA grouped-conv lowering — the tap-sum
+    # backward OOMs HBM at the flagship PatchMerging shape (docstring)
+    monkeypatch.delenv("CBIM_DW")
+    assert not usable((3, 3, 3), (1, 1, 1))
