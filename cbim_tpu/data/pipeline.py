@@ -85,6 +85,16 @@ def _apply_op(name: str, params: dict, img, lab, key):
         return A.gaussian_blur(img, key, params["range"]), lab
     if name == "mirror":
         return A.mirror(img, lab, params["axis"])
+    if name == "elastic":
+        # opt-in extra (no reference counterpart — augmentation.py is
+        # affine-only); see ops/augment.py elastic_deform_{2d,3d}
+        if lab.ndim == 3:
+            return A.elastic_deform_3d(
+                img, lab, key, grid=tuple(params.get("grid", (4, 4, 4))),
+                magnitude=tuple(params.get("magnitude", (0.05,) * 3)))
+        return A.elastic_deform_2d(
+            img, lab, key, grid=tuple(params.get("grid", (4, 4))),
+            magnitude=tuple(params.get("magnitude", (0.05,) * 2)))
     raise ValueError(f"unknown aug op {name!r}")
 
 

@@ -267,6 +267,79 @@ def random_scale_rotate_translate_2d(img, lab, key, scale=0.3, rotate=180,
 
 
 # ---------------------------------------------------------------------------
+# elastic deformation (opt-in extra; the reference augmentation library is
+# affine-only — training/augmentation.py has no elastic op — so NO dataset
+# recipe enables this by default.  Offered for users who want nnU-Net-style
+# elastic aug: enable via a ("elastic", p, {...}) entry in a custom recipe's
+# pre_ops/post_ops.)
+# ---------------------------------------------------------------------------
+
+
+def _elastic_field(key, vol_shape, grid, magnitude):
+    """Smooth per-axis displacement field in NORMALIZED units.
+
+    Control points: uniform in [-magnitude, magnitude] on a coarse
+    ``grid``-shaped lattice, trilinearly upsampled to ``vol_shape`` — the
+    coarse-to-fine interpolation IS the smoothing (band-limited by
+    construction), so no separable gaussian pass over the full volume is
+    needed.  Returns (ndim, *vol_shape) float32."""
+    ndim = len(vol_shape)
+    disp = jax.random.uniform(key, (ndim, *grid), jnp.float32, -1.0, 1.0)
+    mag = jnp.asarray(magnitude, jnp.float32).reshape(ndim, *([1] * ndim))
+    return jax.image.resize(disp * mag, (ndim, *vol_shape), method="linear")
+
+
+def elastic_deform_3d(img, lab, key, grid=(4, 4, 4),
+                      magnitude=(0.05, 0.05, 0.05), label_nearest=True):
+    """Random smooth elastic deformation of one (img, lab) pair.
+
+    img: (D, H, W, C) float; lab: (D, H, W) int.  ``magnitude`` is the max
+    control-point displacement per axis in normalized half-extent units
+    (0.05 -> up to 2.5% of the axis extent, i.e. ``0.05*(size-1)/2`` voxels),
+    matching the normalized-coordinate convention of the affine ops.
+    Sampling follows grid_sample conventions (zeros padding; img trilinear,
+    lab nearest) via the same gather lowering as :mod:`..ops.resample`."""
+    from .resample import _nearest_gather, _trilinear_gather
+    D, H, W = lab.shape
+    dz, dy, dx = _elastic_field(key, (D, H, W), grid, magnitude)
+    fz = (jnp.arange(D, dtype=jnp.float32)[:, None, None]
+          + dz * ((D - 1) / 2.0))
+    fy = (jnp.arange(H, dtype=jnp.float32)[None, :, None]
+          + dy * ((H - 1) / 2.0))
+    fx = (jnp.arange(W, dtype=jnp.float32)[None, None, :]
+          + dx * ((W - 1) / 2.0))
+    img_out = _trilinear_gather(img, fz, fy, fx)
+    if label_nearest:
+        lab_out = _nearest_gather(lab, fz, fy, fx)
+    else:
+        lab_out = _trilinear_gather(lab[..., None].astype(img.dtype),
+                                    fz, fy, fx)[..., 0]
+    return img_out, lab_out
+
+
+def elastic_deform_2d(img, lab, key, grid=(4, 4), magnitude=(0.05, 0.05),
+                      label_nearest=True):
+    """2D twin of :func:`elastic_deform_3d`.  img: (H, W, C); lab: (H, W)."""
+    from .resample import _bilinear_gather_2d
+    H, W = lab.shape
+    dy, dx = _elastic_field(key, (H, W), grid, magnitude)
+    fy = jnp.arange(H, dtype=jnp.float32)[:, None] + dy * ((H - 1) / 2.0)
+    fx = jnp.arange(W, dtype=jnp.float32)[None, :] + dx * ((W - 1) / 2.0)
+    img_out = _bilinear_gather_2d(img, fy, fx)
+    if label_nearest:
+        iy = jnp.rint(fy).astype(jnp.int32)
+        ix = jnp.rint(fx).astype(jnp.int32)
+        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        vals = jnp.take(lab.reshape(-1), lin.reshape(-1)).reshape(iy.shape)
+        lab_out = jnp.where(valid, vals, 0).astype(lab.dtype)
+    else:
+        lab_out = _bilinear_gather_2d(lab[..., None].astype(img.dtype),
+                                      fy, fx)[..., 0]
+    return img_out, lab_out
+
+
+# ---------------------------------------------------------------------------
 # crops  (reference augmentation.py:297-343)
 # ---------------------------------------------------------------------------
 
