@@ -363,7 +363,7 @@ class InferenceEngine:
         return self._crop_pads(probs, pads, spatial)
 
     def _sw_sweep(self, spatial, window, wb):
-        """Returns ``sweep(img, starts, valid) -> acc``: the weighted
+        """Returns ``sweep(v, img, starts, valid) -> acc``: the weighted
         probability accumulator WITHOUT the final division, so single-device
         and sharded lowerings share it (the sharded path psums before
         dividing).  The denominator is the host-precomputed

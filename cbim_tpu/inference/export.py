@@ -86,7 +86,7 @@ def export_sliding_window(model, variables, cfg, volume_shape,
 
     def run(img):
         img_p = jnp.pad(img, pad_cfg) if need_pad else img
-        probs = sweep(img_p, starts_c, valid_c) / cnt
+        probs = sweep(engine.variables, img_p, starts_c, valid_c) / cnt
         return engine._crop_pads(probs, pads, spatial)
 
     spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)

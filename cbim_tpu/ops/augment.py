@@ -320,19 +320,14 @@ def elastic_deform_3d(img, lab, key, grid=(4, 4, 4),
 def elastic_deform_2d(img, lab, key, grid=(4, 4), magnitude=(0.05, 0.05),
                       label_nearest=True):
     """2D twin of :func:`elastic_deform_3d`.  img: (H, W, C); lab: (H, W)."""
-    from .resample import _bilinear_gather_2d
+    from .resample import _bilinear_gather_2d, _nearest_gather_2d
     H, W = lab.shape
     dy, dx = _elastic_field(key, (H, W), grid, magnitude)
     fy = jnp.arange(H, dtype=jnp.float32)[:, None] + dy * ((H - 1) / 2.0)
     fx = jnp.arange(W, dtype=jnp.float32)[None, :] + dx * ((W - 1) / 2.0)
     img_out = _bilinear_gather_2d(img, fy, fx)
     if label_nearest:
-        iy = jnp.rint(fy).astype(jnp.int32)
-        ix = jnp.rint(fx).astype(jnp.int32)
-        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        vals = jnp.take(lab.reshape(-1), lin.reshape(-1)).reshape(iy.shape)
-        lab_out = jnp.where(valid, vals, 0).astype(lab.dtype)
+        lab_out = _nearest_gather_2d(lab, fy, fx)
     else:
         lab_out = _bilinear_gather_2d(lab[..., None].astype(img.dtype),
                                       fy, fx)[..., 0]

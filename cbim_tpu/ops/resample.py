@@ -433,15 +433,22 @@ def affine_sample_2d(img: jax.Array, lab: jax.Array, theta: jax.Array,
 
     img_out = _bilinear_gather_2d(img, fy, fx)
     if label_nearest:
-        iy = jnp.rint(fy).astype(jnp.int32)
-        ix = jnp.rint(fx).astype(jnp.int32)
-        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        vals = jnp.take(lab.reshape(-1), lin.reshape(-1)).reshape(iy.shape)
-        lab_out = jnp.where(valid, vals, 0).astype(lab.dtype)
+        lab_out = _nearest_gather_2d(lab, fy, fx)
     else:
         lab_out = _bilinear_gather_2d(lab[..., None].astype(img.dtype), fy, fx)[..., 0]
     return img_out, lab_out
+
+
+def _nearest_gather_2d(lab: jax.Array, fy, fx) -> jax.Array:
+    """Nearest-neighbour label gather at fractional coords; out-of-range -> 0
+    (torch grid_sample padding_mode='zeros' semantics for labels)."""
+    H, W = lab.shape
+    iy = jnp.rint(fy).astype(jnp.int32)
+    ix = jnp.rint(fx).astype(jnp.int32)
+    valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+    lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    vals = jnp.take(lab.reshape(-1), lin.reshape(-1)).reshape(iy.shape)
+    return jnp.where(valid, vals, 0).astype(lab.dtype)
 
 
 def _bilinear_gather_2d(src: jax.Array, fy, fx) -> jax.Array:

@@ -169,14 +169,21 @@ CONFIG3D_NNFORMER = dict(
     arch="nnformer",
     training_size=[16, 32, 32],
     window_size=[16, 32, 32],
-    # at 20 epochs x 8 iters the reference trained degenerate (all-background,
-    # Dice 0 on every class/fold — 320 batch-2 steps is too few for the
-    # 149M-param nnFormer), so the budget is doubled.
-    epochs=40,
-    val_freq=40,
+    # round-4 artifact was degenerate at 40 epochs on the SPARSE 6-case
+    # phantom (both sides Dice 0: [16,32,32] crops almost always
+    # all-background); round 5 uses the dense 12-case phantom (gen --arch
+    # nnformer) plus a longer budget so the reference actually learns.
+    epochs=60,
+    val_freq=60,
+    iter_per_epoch=16,
     aux_loss=True,
     aux_weight=[0.2, 0.3, 0.5],      # kits/nnformer_3d.yaml:21
-    base_lr=0.0004,                  # kits/nnformer_3d.yaml:27
+    # 2.5x the kits recipe's 4e-4 (kits/nnformer_3d.yaml:27): at 4e-4 the
+    # 149M-param nnFormer moves off Dice 0 on the dense phantom but stalls
+    # at ~0.09 in 60x8 steps; the phantom budget needs the hotter LR (the
+    # recipe stays IDENTICAL on both sides, which is what the artifact
+    # compares)
+    base_lr=0.001,
     # metric-only run: a per-epoch 149M-param state snapshot is ~2.4 GB
     # device->host, minutes per epoch over the tunneled TPU backend
     save_ckpt=False,                 # (cbim_tpu-only key; reference ignores it)
@@ -195,16 +202,27 @@ def _cfg_for(dim: str, arch: str | None, epochs: int | None = None):
 
 
 # ---------------------------------------------------------------- phantom data
-def _phantom_frame(rng: np.random.Generator, shape, phase: float):
+def _phantom_frame(rng: np.random.Generator, shape, phase: float,
+                   dense: bool = False):
     """One cardiac-like frame: LV cavity (3) inside myocardium ring (2), with
-    an RV crescent (1); intensity contrast + texture noise."""
+    an RV crescent (1); intensity contrast + texture noise.
+
+    ``dense=True`` scales the structures up (~60% foreground instead of
+    ~15%) so small training crops mostly contain anatomy — needed for the
+    nnFormer recipe, whose [16,32,32] crops of the sparse phantom are
+    usually all-background and collapse training to Dice 0 in BOTH
+    frameworks (round-4 degenerate artifact)."""
     z, y, x = shape
     lab = np.zeros(shape, np.uint8)
     yy, xx = np.mgrid[0:y, 0:x].astype(np.float32)
     cy = y / 2 + rng.uniform(-8, 8)
     cx = x / 2 + rng.uniform(-8, 8)
-    r_lv = rng.uniform(14, 20) * (1.0 - 0.25 * phase)
-    r_myo = r_lv + rng.uniform(8, 12)
+    if dense:
+        r_lv = rng.uniform(26, 34) * (1.0 - 0.25 * phase)
+        r_myo = r_lv + rng.uniform(12, 18)
+    else:
+        r_lv = rng.uniform(14, 20) * (1.0 - 0.25 * phase)
+        r_myo = r_lv + rng.uniform(8, 12)
     th = rng.uniform(0, np.pi)
     for k in range(z):
         sc = 1.0 - 0.35 * abs(k - z / 2) / (z / 2)      # apex-to-base taper
@@ -239,7 +257,11 @@ def generate(workdir: str, dim: str = "2d", arch: str | None = None):
     os.makedirs(os.path.join(data_root, "list"), exist_ok=True)
     rng = np.random.default_rng(42)
     names = []
-    for i in range(N_CASES):
+    # nnFormer (149M params) needs foreground-dense crops AND more distinct
+    # cases to get past background collapse (see _phantom_frame dense=...)
+    dense = arch == "nnformer"
+    n_cases = 12 if dense else N_CASES
+    for i in range(n_cases):
         name = f"phantom{i:03d}"
         names.append(name)
         # volume must exceed one 64^3 dice-split block: the reference's
@@ -251,14 +273,14 @@ def generate(workdir: str, dim: str = "2d", arch: str | None = None):
         else:
             shape = (12, int(rng.integers(168, 200)), int(rng.integers(168, 200)))
         for idx, phase in [(0, 0.0), (1, 1.0)]:            # ED / ES frames
-            img, lab = _phantom_frame(rng, shape, phase)
+            img, lab = _phantom_frame(rng, shape, phase, dense=dense)
             sp = (5.0, 1.5625, 1.5625)
             write_nifti(os.path.join(data_root, f"{name}_{idx}.nii.gz"), img, sp)
             write_nifti(os.path.join(data_root, f"{name}_{idx}_gt.nii.gz"),
                         lab, sp)
     with open(os.path.join(data_root, "list", "dataset.yaml"), "w") as f:
         yaml.safe_dump(names, f)
-    print(f"wrote {N_CASES} cases (2 frames each) to {data_root}")
+    print(f"wrote {n_cases} cases (2 frames each, dense={dense}) to {data_root}")
 
 
 def _write_config(workdir: str, data_root: str, dim: str = "2d",

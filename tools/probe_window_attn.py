@@ -25,6 +25,7 @@ Run:  python tools/probe_window_attn.py
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -86,7 +87,10 @@ def main():
         argnums=(0, 1, 2)))
 
     for label, B, H, N, D in SHAPES:
-        ks = jax.random.split(jax.random.fold_in(key, hash(label) % 2**31), 4)
+        # crc32, not hash(): PYTHONHASHSEED salts hash() per process, which
+        # would make this decision-record tool non-reproducible across runs
+        ks = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(label.encode()) % 2**31), 4)
         q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
         kk = jax.random.normal(ks[1], (B, H, N, D), jnp.bfloat16)
         v = jax.random.normal(ks[2], (B, H, N, D), jnp.bfloat16)
