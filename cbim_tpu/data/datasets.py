@@ -67,6 +67,11 @@ class ACDC3D(VolumeDataset):
             affine_prob=1.0,
             affine_pad=tuple(cfg.affine_pad_size),
             **_cfg_affine(cfg),
+            # reference order is intensity + affine over the FULL volume,
+            # then random crop (dataset_acdc.py:141-149); with the device
+            # cache the pipeline reproduces that exactly (pipeline.py
+            # full_volume path)
+            full_volume=True,
             pre_ops=(
                 ("gaussian_noise", 1.0, {"std": cfg.gaussian_noise_std}),
                 ("brightness_additive", 1.0, {"std": cfg.additive_brightness_std}),

@@ -58,13 +58,33 @@ class AugRecipe:
     shear: Sequence = (0.05, 0.05, 0.05)
     pre_ops: tuple = ()
     post_ops: tuple = ()
+    # ACDC-style recipes: the reference runs pre_ops on the FULL volume and
+    # spans the affine grid over its full extent (augmentation.py:287-289)
+    # before the random crop.  With the device cache (full volumes in HBM)
+    # the pipeline reproduces that exactly; the host-window path approximates
+    # it on the (training_size+pad) precrop (docs/aug_parity.md).  Crop-trick
+    # recipes (AMOS/LiTS/KiTS) precrop in the reference itself, so their
+    # window semantics are already exact and this stays False.
+    full_volume: bool = False
     # class-count hint for the tiled TPU affine lowering (labels ride in the
     # image dtype there; the hint enforces exact representability)
     num_classes: int | None = None
 
 
-def _apply_op(name: str, params: dict, img, lab, key):
+# pre_ops that stay exact on a zero-padded full-volume cache row: pointwise
+# ops whose padding residue the final re-zero removes, plus gamma (which
+# takes the mask for its stats).  Ops with neighborhood or unmasked-stat
+# semantics (blur, contrast, multiply's preserve_range) would silently
+# diverge, so full_volume recipes are restricted to this set at build time.
+_FULLVOL_SAFE_PRE = {"gaussian_noise", "brightness_additive", "gamma"}
+
+
+def _apply_op(name: str, params: dict, img, lab, key, mask=None, count=None):
     """Dispatch one augmentation op; returns (img, lab)."""
+    if name == "gamma" and mask is not None:
+        return A.gamma(img, key, params["range"],
+                       params.get("retain_stats", True),
+                       mask=mask, count=count), lab
     if name == "gaussian_noise":
         if "std_range" in params:
             k1, k2 = jax.random.split(key)
@@ -98,12 +118,12 @@ def _apply_op(name: str, params: dict, img, lab, key):
     raise ValueError(f"unknown aug op {name!r}")
 
 
-def _gated(name, prob, params, img, lab, key):
+def _gated(name, prob, params, img, lab, key, mask=None, count=None):
     if prob >= 1.0:
-        return _apply_op(name, params, img, lab, key)
+        return _apply_op(name, params, img, lab, key, mask, count)
     kg, ko = jax.random.split(key)
     gate = jax.random.bernoulli(kg, prob)
-    img2, lab2 = _apply_op(name, params, img, lab, ko)
+    img2, lab2 = _apply_op(name, params, img, lab, ko, mask, count)
     return (jnp.where(gate, img2, img),
             lab if lab2 is lab else jnp.where(gate, lab2, lab))
 
@@ -224,6 +244,16 @@ class TrainPipeline:
             t + p for t, p in zip(self.crop_size, recipe.affine_pad))
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
+        # 2D epoch semantics: the reference DataLoader shuffles the slice
+        # pool WITHOUT replacement per epoch (reference train.py:57-64,
+        # shuffle=True over the finite 2D __len__); a host-side permutation
+        # feeds the same static-shape batcher.  3D keeps i.i.d. draws — the
+        # reference 3D datasets expose a ~infinite virtual __len__
+        # (dataset_acdc.py:71-75), so its shuffle is i.i.d. there too.
+        self._without_replacement = self.ndim == 2
+        self._epoch_perm = None
+        self._perm_pos = 0
+        self._fullvol = False      # set by _init_device_cache when eligible
         self._mesh = mesh
         self._aug = jax.jit(build_batch_aug(recipe, self.crop_size, self.ndim))
         # optional hook that places the host batch on the device mesh
@@ -323,6 +353,70 @@ class TrainPipeline:
                 cache_img, cache_lab, idxs, starts)
             return batch_aug(imgs, labs, keys)
 
+        # full-volume semantics (ACDC-style): pre_ops + affine grid over the
+        # whole true volume, random crop fused as the affine's out_offset —
+        # the reference's exact order (dataset_acdc.py:141-149,
+        # augmentation.py:287-289 + crop_3d).  Only possible here, where the
+        # full volumes live in HBM.
+        self._fullvol = bool(self.recipe.full_volume) and self.ndim == 3
+        if self._fullvol:
+            bad = [nm for (nm, _, _) in self.recipe.pre_ops
+                   if nm not in _FULLVOL_SAFE_PRE]
+            if bad:
+                raise ValueError(
+                    f"full_volume recipe has mask-unsafe pre_ops {bad}; "
+                    f"supported: {sorted(_FULLVOL_SAFE_PRE)}")
+            recipe = self.recipe
+            crop = self.crop_size
+            n_pre = len(recipe.pre_ops)
+            margin = self._cache_margin
+            exts_const = jnp.asarray(
+                [im.shape for im in dataset.images], jnp.int32)
+
+            def pre_full(img, lab, ext, key):
+                axm = [(jnp.arange(cache_shape[a]) >= int(margin[a]))
+                       & (jnp.arange(cache_shape[a]) < int(margin[a]) + ext[a])
+                       for a in range(3)]
+                mask = (axm[0][:, None, None] & axm[1][None, :, None]
+                        & axm[2][None, None, :])[..., None]
+                count = jnp.prod(ext.astype(jnp.float32))
+                k_ops = jax.random.split(
+                    key, n_pre + len(recipe.post_ops) + 2)
+                for ki, (name, prob, params) in enumerate(recipe.pre_ops):
+                    img, lab = _gated(name, prob, params, img, lab,
+                                      k_ops[ki], mask, count)
+                img = jnp.where(mask, img, jnp.zeros((), img.dtype))
+                k_branch, k_theta = jax.random.split(k_ops[n_pre])
+                theta = A.random_theta_3d(k_theta, recipe.scale,
+                                          recipe.rotate, recipe.translate,
+                                          recipe.shear)
+                if recipe.affine_prob < 1.0:
+                    take = jax.random.bernoulli(k_branch, recipe.affine_prob)
+                    theta = jnp.where(take, theta,
+                                      jnp.eye(3, 4, dtype=jnp.float32))
+                return img, lab, theta, k_ops[n_pre + 1:]
+
+            def post_full(img, lab, k_ops):
+                for ki, (name, prob, params) in enumerate(recipe.post_ops):
+                    img, lab = _gated(name, prob, params, img, lab, k_ops[ki])
+                return img, lab
+
+            def gather_and_aug_full(cache_img, cache_lab, idxs, starts, keys):
+                from ..ops.resample import affine_sample_3d_fullvol_batch
+                imgs = jnp.take(cache_img, idxs, axis=0)[..., None]
+                labs = jnp.take(cache_lab, idxs, axis=0)
+                exts = jnp.take(exts_const, idxs, axis=0)
+                imgs, labs, thetas, k_post = jax.vmap(pre_full)(
+                    imgs, labs, exts, keys)
+                img_c, lab_c = affine_sample_3d_fullvol_batch(
+                    imgs, labs, thetas, exts, starts, margin, crop,
+                    num_classes=recipe.num_classes)
+                if recipe.post_ops:
+                    img_c, lab_c = jax.vmap(post_full)(img_c, lab_c, k_post)
+                return img_c, lab_c
+
+            gather_and_aug = gather_and_aug_full
+
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(self._mesh, P())
@@ -378,10 +472,29 @@ class TrainPipeline:
         buf_lab[tuple(slices_dst)] = lab[tuple(slices_src)]
         return buf_img, buf_lab
 
+    def _draw_indices(self, batch_size: int) -> np.ndarray:
+        """Sample indices: a per-epoch permutation without replacement (2D,
+        reference DataLoader semantics) or i.i.d. uniform (3D)."""
+        n = len(self.ds.images)
+        if not self._without_replacement:
+            return self._rng.integers(0, n, size=batch_size)
+        out = np.empty(batch_size, np.int64)
+        filled = 0
+        while filled < batch_size:
+            if self._epoch_perm is None or self._perm_pos >= n:
+                self._epoch_perm = self._rng.permutation(n)
+                self._perm_pos = 0
+            take = min(batch_size - filled, n - self._perm_pos)
+            out[filled:filled + take] = \
+                self._epoch_perm[self._perm_pos:self._perm_pos + take]
+            filled += take
+            self._perm_pos += take
+        return out
+
     def host_batch(self, batch_size: int):
         """Labels travel as int8 (medical label sets are tiny): 4x less
         host->device traffic than int32."""
-        idxs = self._rng.integers(0, len(self.ds.images), size=batch_size)
+        idxs = self._draw_indices(batch_size)
         if self._native:
             from . import native
             images = [self.ds.images[i] for i in idxs]
@@ -412,14 +525,21 @@ class TrainPipeline:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, batch_size)
         if self._device_cache is not None:
-            idxs = self._rng.integers(0, len(self.ds.images),
-                                      size=batch_size).astype(np.int32)
+            idxs = self._draw_indices(batch_size).astype(np.int32)
             starts = np.zeros((batch_size, self.ndim), np.int32)
             for i, idx in enumerate(idxs):
                 shape = self._vol_shapes[idx]
                 for ax in range(self.ndim):
-                    v = self._virtual_start(int(shape[ax]), ax)
-                    starts[i, ax] = self._cache_margin[ax] + v
+                    if self._fullvol:
+                        # crop start in VOLUME coords, the reference's
+                        # crop_3d distribution: randint(0, max(S - ts, 1))
+                        # (high-exclusive; start == S - ts unreachable, a
+                        # reference quirk reproduced deliberately)
+                        diff = int(shape[ax]) - self.crop_size[ax]
+                        starts[i, ax] = self._rng.integers(0, max(diff, 1))
+                    else:
+                        v = self._virtual_start(int(shape[ax]), ax)
+                        starts[i, ax] = self._cache_margin[ax] + v
             img, lab = self._device_cache(self._cache_img, self._cache_lab,
                                           jnp.asarray(idxs),
                                           jnp.asarray(starts), keys)

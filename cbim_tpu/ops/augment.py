@@ -56,26 +56,56 @@ def _std_unbiased(x):
     return jnp.sqrt(jnp.sum((x - mu) ** 2) / (n - 1))
 
 
-def gamma(img, key, gamma_range=(0.5, 2.0), retain_stats: bool = True):
+def _masked_stats(x, mask, count):
+    """(min, max, mean, unbiased std) over ``mask``-selected voxels."""
+    big = jnp.float32(3.4e38)
+    minm = jnp.min(jnp.where(mask, x, big))
+    maxm = jnp.max(jnp.where(mask, x, -big))
+    xm = jnp.where(mask, x, 0.0)
+    mean = jnp.sum(xm) / count
+    var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0)) / (count - 1)
+    return minm, maxm, mean, jnp.sqrt(var)
+
+
+def gamma(img, key, gamma_range=(0.5, 2.0), retain_stats: bool = True,
+          mask=None, count=None):
     """augmentation.py:104-136 — min-max renorm, pow, optional stat retention.
 
     per_channel=False semantics: stats and the drawn gamma are shared across
     the whole tensor (all reference datasets call it this way).
+
+    ``mask``/``count`` restrict the stats to the true-volume voxels of a
+    zero-padded cache row (the full-volume pipeline path): the reference
+    computes them over the whole variable-shape volume, which the padded
+    cache represents as mask-selected voxels.  Output outside the mask is
+    zeroed (pow of a negative padding residue would be NaN otherwise).
     """
     lo, hi = gamma_range
     g = jax.random.uniform(key, (), jnp.float32, lo, hi)
     x = img.astype(jnp.float32)
-    minm = jnp.min(x)
-    maxm = jnp.max(x)
+    if mask is not None:
+        minm, maxm, mean, std = _masked_stats(x, mask, count)
+    else:
+        minm = jnp.min(x)
+        maxm = jnp.max(x)
+        mean = jnp.mean(x)
+        std = _std_unbiased(x)
     rng = maxm - minm
-    mean = jnp.mean(x)
-    std = _std_unbiased(x)
     safe_rng = jnp.where(rng > 0, rng, 1.0)   # constant image -> no-op (the
-    y = jnp.power((x - minm) / safe_rng, g) * rng + minm  # reference NaNs here)
+    base = (x - minm) / safe_rng              # reference NaNs here)
+    if mask is not None:
+        base = jnp.where(mask, base, 0.0)     # padding: pow(neg, frac) = NaN
+    y = jnp.power(base, g) * rng + minm
     if retain_stats:
-        y = y - jnp.mean(y)
-        new_std = _std_unbiased(y)
+        if mask is not None:
+            _, _, y_mean, new_std = _masked_stats(y, mask, count)
+        else:
+            y_mean = jnp.mean(y)
+            new_std = _std_unbiased(y)
+        y = y - y_mean
         y = y / jnp.where(new_std > 0, new_std, 1.0) * std + mean
+    if mask is not None:
+        y = jnp.where(mask, y, 0.0)
     return y.astype(img.dtype)
 
 

@@ -203,6 +203,77 @@ def _affine_coords_3d(theta, D, H, W, out_shape, out_offset):
     return _unnormalize(sz, D), _unnormalize(sy, H), _unnormalize(sx, W)
 
 
+def _affine_coords_3d_fullvol(theta, extent, place, out_offset, out_shape):
+    """Coords with the grid normalized over a traced per-sample TRUE extent
+    (the reference's full-volume ``F.affine_grid`` semantics,
+    augmentation.py:287-289) for a volume placed at ``place`` inside a
+    zero-padded cache array.
+
+    extent: (3,) true (D, H, W) of this sample; place: (3,) placement offset
+    of the volume inside the cache; out_offset: (3,) crop start in VOLUME
+    coords (the reference's post-affine ``crop_3d`` start).  Returned coords
+    are in CACHE voxel space: the caller gathers from the padded cache, and
+    any sample outside the true extent lands on cache zeros — exactly
+    ``grid_sample(padding_mode='zeros')``.
+    """
+    extent = extent.astype(jnp.float32)
+    off = out_offset.astype(jnp.float32)
+    place = place.astype(jnp.float32)
+
+    def axis(i, out_size):
+        s = extent[i]
+        o = off[i] + jnp.arange(out_size, dtype=jnp.float32)
+        # align_corners=True; size==1 -> normalized coordinate 0
+        return jnp.where(s > 1, -1.0 + 2.0 * o / jnp.maximum(s - 1.0, 1.0),
+                         0.0)
+
+    z = axis(0, out_shape[0])[:, None, None]
+    y = axis(1, out_shape[1])[None, :, None]
+    x = axis(2, out_shape[2])[None, None, :]
+    theta = theta.astype(jnp.float32)
+    sx = theta[0, 0] * x + theta[0, 1] * y + theta[0, 2] * z + theta[0, 3]
+    sy = theta[1, 0] * x + theta[1, 1] * y + theta[1, 2] * z + theta[1, 3]
+    sz = theta[2, 0] * x + theta[2, 1] * y + theta[2, 2] * z + theta[2, 3]
+    fz = (sz + 1.0) * (extent[0] - 1.0) / 2.0 + place[0]
+    fy = (sy + 1.0) * (extent[1] - 1.0) / 2.0 + place[1]
+    fx = (sx + 1.0) * (extent[2] - 1.0) / 2.0 + place[2]
+    return fz, fy, fx
+
+
+def affine_sample_3d_fullvol_batch(img, lab, theta, extents, out_offsets,
+                                   place, out_shape,
+                                   num_classes: int | None = None):
+    """Batched affine resample with FULL-VOLUME grid semantics from a padded
+    cache: img (B, Dc, Hc, Wc, C) zero-padded cache rows, lab (B, Dc, Hc, Wc),
+    theta (B, 3, 4), extents (B, 3) true per-sample shapes, out_offsets
+    (B, 3) per-sample crop starts in volume coords, place (3,) static
+    placement offset (the cache margins) -> (img (B, *out_shape, C), lab).
+
+    Exactly the reference's affine-full-volume-then-random-crop
+    (dataset_acdc.py:141-149 + crop_3d), evaluated only on the cropped
+    sub-box.  Requires at least one zero voxel of margin OR zero padding on
+    the high side of every axis in the cache (the pipeline's cache builder
+    guarantees this) so that out-of-volume interpolation reads zeros.
+    """
+    place = jnp.asarray(place)
+    fz, fy, fx = jax.vmap(
+        lambda t, e, o: _affine_coords_3d_fullvol(t, e, place, o, out_shape)
+    )(theta, extents, out_offsets)
+
+    from ._backend import is_tpu_backend
+    if is_tpu_backend():
+        bound = _exact_int_bound(img.dtype)
+        ok = (num_classes is not None and num_classes - 1 <= bound) or \
+            (num_classes is None and bound >= 2 ** 23)
+        if ok:
+            return _tiled_gather_3d(img, lab, fz, fy, fx, out_shape)
+
+    def one(im, lb, z, y, x):
+        return (_trilinear_gather(im, z, y, x), _nearest_gather(lb, z, y, x))
+
+    return jax.vmap(one)(img, lab, fz, fy, fx)
+
+
 import os as _os
 
 # x-tile width of the tiled lowering (gather row = 4*2*_TILE*(C+1) lanes).
@@ -299,8 +370,6 @@ def _affine_sample_3d_tiled(img, lab, theta, out_shape=None, out_offset=None):
     bit-identical outputs.
     """
     B, D, H, W = img.shape[0], img.shape[1], img.shape[2], img.shape[3]
-    C = img.shape[4]
-    T = _TILE
     if out_shape is None:
         out_shape = (D, H, W)
     if out_offset is None:
@@ -309,6 +378,16 @@ def _affine_sample_3d_tiled(img, lab, theta, out_shape=None, out_offset=None):
 
     fz, fy, fx = jax.vmap(
         lambda t: _affine_coords_3d(t, D, H, W, out_shape, out_offset))(theta)
+    return _tiled_gather_3d(img, lab, fz, fy, fx, out_shape)
+
+
+def _tiled_gather_3d(img, lab, fz, fy, fx, out_shape):
+    """The gather half of :func:`_affine_sample_3d_tiled`: interpolate
+    img/lab at per-sample fractional source coords (fz, fy, fx), each
+    (B, *out_shape), via the tile-pair quad-row table."""
+    B, D, H, W = img.shape[0], img.shape[1], img.shape[2], img.shape[3]
+    C = img.shape[4]
+    T = _TILE
     n = int(np.prod(out_shape))
     fz = fz.reshape(B, n)
     fy = fy.reshape(B, n)

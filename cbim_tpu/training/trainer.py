@@ -136,6 +136,23 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
             else:
                 sd = load_torch_state_dict(cfg.init_model)
                 new_vars = import_for_model(cfg, sd, cur_vars)
+        elif cfg.model == "swin_unetr":
+            import torch as _torch
+            ckpt = _torch.load(cfg.init_model, map_location="cpu",
+                               weights_only=False)
+            inner = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) \
+                else ckpt
+            if isinstance(inner, dict) and \
+                    any(str(k).startswith("module.") for k in inner):
+                # ssl-pretrained swin-vit backbone (model_swinvit.pt format,
+                # reference model/utils.py:107-115 load_from path)
+                from ..utils.torch_import import import_swin_unetr_ssl
+                new_vars = dict(cur_vars)
+                new_vars["params"] = import_swin_unetr_ssl(
+                    ckpt, cur_vars["params"])
+            else:
+                sd = load_torch_state_dict(cfg.init_model)
+                new_vars = import_for_model(cfg, sd, cur_vars)
         else:
             sd = load_torch_state_dict(cfg.init_model)
             new_vars = import_for_model(cfg, sd, cur_vars)
@@ -152,11 +169,10 @@ def train_net(cfg, fold_idx: int = 0, mesh=None):
         logging.info("Initialized from torch checkpoint %s", cfg.init_model)
 
     if cfg.dimension == "2d":
-        # epoch length matches the reference DataLoader (slice_count/batch),
-        # but sampling is WITH replacement (pipeline.host_batch) whereas the
-        # reference shuffles without replacement per epoch — identical in
-        # expectation, per-epoch coverage statistics differ slightly
-        # (docs/benchmarks.md "2D epoch semantics")
+        # epoch length matches the reference DataLoader (slice_count/batch);
+        # sampling draws from a host-side per-epoch permutation without
+        # replacement, the reference DataLoader's shuffle semantics
+        # (pipeline._draw_indices; docs/benchmarks.md "2D epoch semantics")
         iters = max(1, len(trainset.images) // cfg.batch_size)
     else:
         iters = cfg.iter_per_epoch

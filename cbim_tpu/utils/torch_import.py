@@ -1322,3 +1322,53 @@ def import_swin_unetr(state_dict, params, depths=(2, 2, 2, 0)):
     p["Conv_0"]["kernel"] = conv_to_flax(sd["out.conv.weight"])
     p["Conv_0"]["bias"] = sd["out.conv.bias"]
     return p
+
+
+def import_swin_unetr_ssl(ckpt, params, depths=(2, 2, 2, 0)):
+    """Map the self-supervised swin-vit pretrain checkpoint (the reference's
+    ``model_swinvit.pt`` format: ``{"state_dict": {"module.*": ...}}``,
+    loaded by model/utils.py:107-115 via SwinUNETR.load_from,
+    model/dim3/swin_unetr.py:230-277) onto our SwinUNETR params.
+
+    Only the swinViT backbone is written (patch embed, per-stage blocks and
+    downsamples); encoder/decoder/out params keep their fresh init — exactly
+    what the reference's load_from touches.  Note the ssl checkpoint names
+    the block MLP ``mlp.fc1/fc2`` while the reference block stores it as
+    ``mlp.linear1/linear2`` (swin_unetr.py:611-643); the buffers
+    (relative_position_index) are deterministic and skipped.
+    """
+    sd = _to_np(ckpt["state_dict"] if "state_dict" in ckpt else ckpt)
+    import jax
+    p = jax.tree_util.tree_map(np.asarray, params)
+
+    def dense(node, tkey, bias=True):
+        node["kernel"] = linear_to_flax(sd[f"{tkey}.weight"])
+        if bias:
+            node["bias"] = sd[f"{tkey}.bias"]
+
+    def ln(node, tkey):
+        node["scale"] = sd[f"{tkey}.weight"]
+        node["bias"] = sd[f"{tkey}.bias"]
+
+    sw = p["SwinTransformer3D_0"]
+    sw["Conv_0"]["kernel"] = conv_to_flax(sd["module.patch_embed.proj.weight"])
+    sw["Conv_0"]["bias"] = sd["module.patch_embed.proj.bias"]
+    blk_idx = 0
+    for stage, depth in enumerate(depths):
+        t = f"module.layers{stage + 1}.0"
+        for b in range(depth):
+            blk = sw[f"SwinBlock_{blk_idx}"]
+            ln(blk["LayerNorm_0"], f"{t}.blocks.{b}.norm1")
+            attn = blk["WindowAttention_0"]
+            dense(attn["Dense_0"], f"{t}.blocks.{b}.attn.qkv")
+            attn["relative_position_bias_table"] = \
+                sd[f"{t}.blocks.{b}.attn.relative_position_bias_table"]
+            dense(attn["Dense_1"], f"{t}.blocks.{b}.attn.proj")
+            ln(blk["LayerNorm_1"], f"{t}.blocks.{b}.norm2")
+            dense(blk["Dense_0"], f"{t}.blocks.{b}.mlp.fc1")
+            dense(blk["Dense_1"], f"{t}.blocks.{b}.mlp.fc2")
+            blk_idx += 1
+        pm = sw[f"PatchMergingLegacy_{stage}"]
+        ln(pm["LayerNorm_0"], f"{t}.downsample.norm")
+        dense(pm["Dense_0"], f"{t}.downsample.reduction", bias=False)
+    return p

@@ -96,6 +96,31 @@ def test_pipeline_2d():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_2d_epoch_sampling_without_replacement():
+    """2D draws cover every slice exactly once per epoch (reference
+    DataLoader shuffle semantics, train.py:57-64); 3D stays i.i.d."""
+    from cbim_tpu.data import get_dataset
+    from cbim_tpu.data.pipeline import TrainPipeline
+
+    cfg = _synth_cfg(dimension="2d", training_size=[32, 32],
+                     affine_pad_size=[8, 8], scale=0.2, rotate=30, translate=0)
+    ds = get_dataset(cfg, mode="train", fold_idx=0)
+    pipe = TrainPipeline(ds, cfg, seed=0)
+    n = len(ds.images)
+    assert pipe._without_replacement
+    # one full epoch of draws is a permutation of range(n)
+    drawn = np.concatenate([pipe._draw_indices(4) for _ in range(-(-n // 4))])
+    counts = np.bincount(drawn[:n], minlength=n)
+    assert (counts == 1).all()
+    # second epoch re-permutes (overwhelmingly unlikely to repeat the order)
+    drawn2 = np.concatenate([pipe._draw_indices(4) for _ in range(-(-n // 4))])
+    assert sorted(drawn2[:n]) == list(range(n))
+
+    cfg3 = _synth_cfg()
+    ds3 = get_dataset(cfg3, mode="train", fold_idx=0)
+    assert not TrainPipeline(ds3, cfg3, seed=0)._without_replacement
+
+
 def test_recipe_constants_match_reference():
     """Normalization constants ported exactly (SURVEY §2.2)."""
     from cbim_tpu.data import datasets as D

@@ -1,0 +1,144 @@
+"""Full-volume affine grid semantics (VERDICT r4 missing #1).
+
+The reference spans the affine grid over the whole variable-shape volume
+(reference training/augmentation.py:287-289) and random-crops afterwards
+(crop_3d).  ``affine_sample_3d_fullvol_batch`` reproduces that from a
+zero-padded cache row: grid normalized over the TRUE per-sample extent,
+evaluated only on the crop sub-box.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cbim_tpu.ops.resample import (affine_sample_3d,
+                                   affine_sample_3d_fullvol_batch)
+
+
+def _mk(shape, seed=0, classes=4):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(*shape, 1)).astype(np.float32)
+    lab = rng.integers(0, classes, size=shape).astype(np.int32)
+    return img, lab
+
+
+def _theta(seed):
+    from cbim_tpu.ops import augment as A
+    return A.random_theta_3d(jax.random.PRNGKey(seed), (0.2, 0.2, 0.2),
+                             (20, 20, 20), (0.1, 0.1, 0.1), (0.05,) * 3)
+
+
+def test_fullvol_matches_plain_when_unpadded():
+    """place=0, extent=cache shape: must equal affine_sample_3d's sub-box."""
+    shape = (10, 24, 28)
+    crop = (6, 16, 16)
+    img, lab = _mk(shape)
+    out_img, out_lab = [], []
+    thetas, offs = [], []
+    for b in range(3):
+        thetas.append(_theta(b))
+        offs.append([b % 3, 2 * b, b])
+        oi, ol = affine_sample_3d(jnp.asarray(img), jnp.asarray(lab),
+                                  thetas[-1], out_shape=crop,
+                                  out_offset=tuple(offs[-1]))
+        out_img.append(np.asarray(oi))
+        out_lab.append(np.asarray(ol))
+
+    B = 3
+    bi = jnp.broadcast_to(jnp.asarray(img), (B, *shape, 1))
+    bl = jnp.broadcast_to(jnp.asarray(lab), (B, *shape))
+    fi, fl = affine_sample_3d_fullvol_batch(
+        bi, bl, jnp.stack(thetas), jnp.tile(jnp.asarray(shape, jnp.int32), (B, 1)),
+        jnp.asarray(offs, jnp.int32), np.zeros(3, np.int32), crop,
+        num_classes=4)
+    np.testing.assert_allclose(np.asarray(fi), np.stack(out_img),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(fl), np.stack(out_lab))
+
+
+def test_fullvol_padded_cache_matches_unpadded_volume():
+    """A volume embedded at ``place`` in a larger zero cache must resample
+    exactly like the bare volume (grid spans the true extent only)."""
+    shape = (8, 20, 24)
+    cache = (12, 30, 36)
+    place = np.array([2, 4, 5], np.int32)
+    crop = (6, 12, 16)
+    img, lab = _mk(shape, seed=3)
+
+    ci = np.zeros((2, *cache, 1), np.float32)
+    cl = np.zeros((2, *cache), np.int32)
+    sl = tuple(slice(p, p + s) for p, s in zip(place, shape))
+    for b in range(2):
+        ci[(b, *sl, slice(None))] = img
+        cl[(b, *sl)] = lab
+
+    thetas = jnp.stack([_theta(7), _theta(8)])
+    offs = jnp.asarray([[1, 3, 2], [0, 5, 7]], jnp.int32)
+
+    fi, fl = affine_sample_3d_fullvol_batch(
+        jnp.asarray(ci), jnp.asarray(cl), thetas,
+        jnp.tile(jnp.asarray(shape, jnp.int32), (2, 1)), offs, place, crop, num_classes=4)
+
+    for b in range(2):
+        oi, ol = affine_sample_3d(jnp.asarray(img), jnp.asarray(lab),
+                                  thetas[b], out_shape=crop,
+                                  out_offset=tuple(int(v) for v in offs[b]))
+        np.testing.assert_allclose(np.asarray(fi[b]), np.asarray(oi),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(fl[b]), np.asarray(ol))
+
+
+def test_fullvol_per_sample_extents_differ():
+    """Two samples with different true extents get different grids (the
+    normalized-coordinate scaling is per-sample)."""
+    cache = (12, 30, 36)
+    crop = (6, 12, 16)
+    sA, sB = (8, 20, 24), (12, 30, 36)
+    place = np.zeros(3, np.int32)
+    imgA, labA = _mk(sA, seed=11)
+    imgB, labB = _mk(sB, seed=12)
+    ci = np.zeros((2, *cache, 1), np.float32)
+    cl = np.zeros((2, *cache), np.int32)
+    ci[0][tuple(slice(0, s) for s in sA)] = imgA
+    cl[0][tuple(slice(0, s) for s in sA)] = labA
+    ci[1] = imgB
+    cl[1] = labB
+
+    th = jnp.stack([_theta(5), _theta(5)])
+    offs = jnp.asarray([[0, 2, 1], [0, 2, 1]], jnp.int32)
+    fi, fl = affine_sample_3d_fullvol_batch(
+        jnp.asarray(ci), jnp.asarray(cl), th,
+        jnp.asarray([sA, sB], jnp.int32), offs, place, crop, num_classes=4)
+
+    oiA, olA = affine_sample_3d(jnp.asarray(imgA), jnp.asarray(labA), th[0],
+                                out_shape=crop, out_offset=(0, 2, 1))
+    oiB, olB = affine_sample_3d(jnp.asarray(imgB), jnp.asarray(labB), th[1],
+                                out_shape=crop, out_offset=(0, 2, 1))
+    np.testing.assert_allclose(np.asarray(fi[0]), np.asarray(oiA),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fi[1]), np.asarray(oiB),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(fl[0]), np.asarray(olA))
+    np.testing.assert_array_equal(np.asarray(fl[1]), np.asarray(olB))
+
+
+def test_masked_gamma_matches_unmasked_on_true_extent():
+    """gamma(mask=...) on a padded row == gamma on the bare volume."""
+    from cbim_tpu.ops.augment import gamma
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0.5, 0.3, size=(6, 10, 12, 1)).astype(np.float32)
+    cache = np.zeros((8, 14, 16, 1), np.float32)
+    cache[1:7, 2:12, 3:15] = vol
+    mask = np.zeros((8, 14, 16, 1), bool)
+    mask[1:7, 2:12, 3:15] = True
+    key = jax.random.PRNGKey(42)
+    want = np.asarray(gamma(jnp.asarray(vol), key, (0.6, 1.5), True))
+    got = np.asarray(gamma(jnp.asarray(cache), key, (0.6, 1.5), True,
+                           mask=jnp.asarray(mask),
+                           count=jnp.float32(vol.size)))
+    np.testing.assert_allclose(got[1:7, 2:12, 3:15], want, rtol=1e-5,
+                               atol=1e-5)
+    assert (got[~mask[..., 0]] == 0).all() if got.ndim == 3 else True
+    # padding stays zero
+    got_pad = got.copy()
+    got_pad[1:7, 2:12, 3:15] = 0
+    assert np.abs(got_pad).max() == 0

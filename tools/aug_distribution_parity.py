@@ -125,6 +125,9 @@ def run_ours(img, lab, n_iter, seed=0, batch=8):
                 affine_prob=1.0, affine_pad=PAD,
                 scale=SCALE, rotate=ROTATE, translate=TRANSLATE,
                 shear=(0.0, 0.0, 0.0),
+                # round 5: exact reference semantics — pre_ops + affine grid
+                # over the FULL volume via the device-cache path
+                full_volume=True,
                 pre_ops=(
                     ("gaussian_noise", 1.0, {"std": NOISE_STD}),
                     ("brightness_additive", 1.0, {"std": BRIGHT_STD}),
@@ -139,8 +142,11 @@ def run_ours(img, lab, n_iter, seed=0, batch=8):
         def get(self, k, d=None):
             return dict.get(self, k, d)
 
+    # device_cache=True: the full-volume path lives in the cache program
+    # (works on the CPU backend too); float32 cache so the comparison
+    # isolates SEMANTIC parity from the production bf16 cache quantization
     cfg = _Cfg(dimension="3d", training_size=list(TRAIN_SIZE), classes=4,
-               device_cache=False)
+               device_cache=True, cache_dtype="float32")
     pipe = TrainPipeline(_DS(), cfg, seed=seed)
     out = []
     done = 0

@@ -173,17 +173,28 @@ CONFIG3D_NNFORMER = dict(
     # phantom (both sides Dice 0: [16,32,32] crops almost always
     # all-background); round 5 uses the dense 12-case phantom (gen --arch
     # nnformer) plus a longer budget so the reference actually learns.
-    epochs=60,
-    val_freq=60,
+    epochs=100,
+    val_freq=100,
     iter_per_epoch=16,
     aux_loss=True,
     aux_weight=[0.2, 0.3, 0.5],      # kits/nnformer_3d.yaml:21
-    # 2.5x the kits recipe's 4e-4 (kits/nnformer_3d.yaml:27): at 4e-4 the
-    # 149M-param nnFormer moves off Dice 0 on the dense phantom but stalls
-    # at ~0.09 in 60x8 steps; the phantom budget needs the hotter LR (the
-    # recipe stays IDENTICAL on both sides, which is what the artifact
-    # compares)
-    base_lr=0.001,
+    # 0.25x the kits recipe's 4e-4 (kits/nnformer_3d.yaml:27).  The kits
+    # recipe trains on [64,128,128]-voxel crops (~2M voxels/step at batch 2);
+    # this phantom recipe sees 32k voxels/step, so the per-step gradient is
+    # ~60x noisier and 4e-4 never descends (measured: fresh-batch loss flat
+    # at ~2.1 for 4800 steps at 4e-4 AND 1e-3, while lr<=1e-4 descends
+    # steadily; a fixed-batch overfit probe descends 2.2 -> 0.29 at 1e-3, so
+    # gradients/machinery are fine — batch gradient SNR was the blocker).
+    # The recipe stays IDENTICAL on both sides, which is what the artifact
+    # compares.
+    base_lr=0.0001,
+    # softened intensity aug (the 2D recipe's values): at the medformer-3d
+    # values (brightness std 0.7, gamma [0.5,1.6]) the per-sample brightness
+    # shift swamps the phantom's ~0.2 class contrast and nnFormer never
+    # descends across batches (fixed-batch overfit probe DOES descend
+    # 2.2 -> 0.29, so gradients are fine — the task SNR was the blocker)
+    additive_brightness_std=0.3,
+    gamma_range=[0.7, 1.4],
     # metric-only run: a per-epoch 149M-param state snapshot is ~2.4 GB
     # device->host, minutes per epoch over the tunneled TPU backend
     save_ckpt=False,                 # (cbim_tpu-only key; reference ignores it)
