@@ -358,7 +358,12 @@ class TrainPipeline:
         # the reference's exact order (dataset_acdc.py:141-149,
         # augmentation.py:287-289 + crop_3d).  Only possible here, where the
         # full volumes live in HBM.
-        self._fullvol = bool(self.recipe.full_volume) and self.ndim == 3
+        # cfg override (debug/ops knob): full_volume: false in the YAML
+        # forces the precrop-window approximation even for recipes that
+        # default to exact full-volume semantics
+        fv_cfg = self.cfg.get("full_volume")
+        fv = self.recipe.full_volume if fv_cfg is None else bool(fv_cfg)
+        self._fullvol = bool(fv) and self.ndim == 3
         if self._fullvol:
             bad = [nm for (nm, _, _) in self.recipe.pre_ops
                    if nm not in _FULLVOL_SAFE_PRE]
@@ -403,14 +408,21 @@ class TrainPipeline:
 
             def gather_and_aug_full(cache_img, cache_lab, idxs, starts, keys):
                 from ..ops.resample import affine_sample_3d_fullvol_batch
-                imgs = jnp.take(cache_img, idxs, axis=0)[..., None]
+                # pre_ops run in f32: bf16 draws/pows on the full padded row
+                # hit fp edges on TPU (a single non-finite voxel inside the
+                # mask poisons the whole volume through gamma's retain_stats
+                # reduction); cast back to the cache dtype for the gather so
+                # its HBM traffic stays at the bf16 rate
+                cache_dtype = cache_img.dtype
+                imgs = jnp.take(cache_img, idxs, axis=0)[..., None] \
+                    .astype(jnp.float32)
                 labs = jnp.take(cache_lab, idxs, axis=0)
                 exts = jnp.take(exts_const, idxs, axis=0)
                 imgs, labs, thetas, k_post = jax.vmap(pre_full)(
                     imgs, labs, exts, keys)
                 img_c, lab_c = affine_sample_3d_fullvol_batch(
-                    imgs, labs, thetas, exts, starts, margin, crop,
-                    num_classes=recipe.num_classes)
+                    imgs.astype(cache_dtype), labs, thetas, exts, starts,
+                    margin, crop, num_classes=recipe.num_classes)
                 if recipe.post_ops:
                     img_c, lab_c = jax.vmap(post_full)(img_c, lab_c, k_post)
                 return img_c, lab_c

@@ -95,7 +95,14 @@ def gamma(img, key, gamma_range=(0.5, 2.0), retain_stats: bool = True,
     base = (x - minm) / safe_rng              # reference NaNs here)
     if mask is not None:
         base = jnp.where(mask, base, 0.0)     # padding: pow(neg, frac) = NaN
-    y = jnp.power(base, g) * rng + minm
+    # NaN-proof pow: base is mathematically >= 0, but pow lowers to
+    # exp(g*log(base)) on TPU where a 0 (or any fp-edge negative) base makes
+    # log produce -inf/NaN inside fused HLO; guard the log's argument and
+    # select the exact limit value 0^g = 0 explicitly.  For base > 0 this
+    # matches jnp.power's own exp/log formulation.
+    powed = jnp.where(base > 0,
+                      jnp.exp(g * jnp.log(jnp.maximum(base, 1e-38))), 0.0)
+    y = powed * rng + minm
     if retain_stats:
         if mask is not None:
             _, _, y_mean, new_std = _masked_stats(y, mask, count)
