@@ -64,7 +64,8 @@ def main():
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, *vol, 1), jnp.float32)
     img = jax.device_put(img)
 
-    for wb in (int(w) for w in args.window_batch.split(",")):
+    for wb in (w if w == "auto" else int(w)
+               for w in args.window_batch.split(",")):
         eng = InferenceEngine(apply_fn, cfg.classes, window_size=window,
                               window_batch=wb)
         t0 = time.perf_counter()
