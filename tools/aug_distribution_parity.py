@@ -7,9 +7,12 @@ dataset_acdc.py:141-149), run N times through BOTH implementations:
 
 - reference: training/augmentation.py on torch CPU tensors, ops applied to
   the FULL volume, affine grid spans the full volume, then random crop;
-- ours: the jitted batched pipeline, ops applied to a fixed
-  (training_size + affine_pad) precrop window, normalized affine coordinates
-  spanning the precrop (the documented divergence, data/pipeline.py:21-25).
+- ours: the jitted batched pipeline with full-volume semantics (round 5):
+  intensity ops masked-applied to the whole padded cache row, the affine
+  grid normalized over the true volume extent, the random crop fused as the
+  affine's out_offset (data/pipeline.py full_volume path,
+  ops/resample.affine_sample_3d_fullvol_batch) — the reference's exact
+  op order and grid span.
 
 Per-draw summary statistics (crop intensity mean/std/p05/p95, per-class
 voxel fractions) are compared as DISTRIBUTIONS (mean/std of each statistic +
@@ -201,10 +204,14 @@ def main():
           f"Phantom {VOL_SHAPE}, crop {TRAIN_SIZE}, N={n_iter} draws each;",
           "identical nominal ACDC recipe (noise 0.02 / brightness 0.7 /",
           "gamma [0.5,1.6] retain-stats / affine scale 0.3 rot 30deg /",
-          "random crop).  Known structural divergence: our jitted pipeline",
-          "applies intensity ops to the (training_size+pad) precrop window",
-          "and spans the affine grid over the precrop (reference: full",
-          "volume) — see data/pipeline.py:14-25.",
+          "random crop).  Ours runs the round-5 full-volume path: intensity",
+          "ops + affine grid over the whole volume, crop fused as the",
+          "affine out_offset (data/pipeline.py full_volume,",
+          "resample.affine_sample_3d_fullvol_batch) — the reference's exact",
+          "op order and grid span.",
+          "",
+          f"Two-sample KS 5% critical value at N={n_iter}/side:",
+          f"{1.358 * (2 * n_iter / (n_iter * n_iter)) ** 0.5:.4f}.",
           "",
           "| stat | ref mean±std | ours mean±std | |Δmean| | KS |",
           "|---|---|---|---|---|"]
@@ -212,6 +219,13 @@ def main():
         md.append(f"| {r['stat']} | {r['ref_mean']:.4f}±{r['ref_std']:.4f} "
                   f"| {r['ours_mean']:.4f}±{r['ours_std']:.4f} "
                   f"| {r['abs_diff']:.4f} | {r['ks']:.3f} |")
+    crit = 1.358 * (2.0 / n_iter) ** 0.5
+    worst = max(rows, key=lambda r: r["ks"])
+    n_fail = sum(1 for r in rows if r["ks"] > crit)
+    md += ["",
+           f"Verdict: {len(rows) - n_fail}/{len(rows)} statistics under the "
+           f"critical value (worst: {worst['stat']} KS {worst['ks']:.3f} "
+           f"vs crit {crit:.4f})."]
     with open(os.path.join(REPO, "docs", "aug_parity.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print("\n".join(md))
