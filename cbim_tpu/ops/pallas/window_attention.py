@@ -15,12 +15,25 @@ or (1, H, N, N).  Softmax runs in fp32 regardless of input dtype.
 Falls back to the jnp einsum path when Pallas is unavailable (non-TPU
 backends run the kernel in interpreter mode inside tests).
 
-Measured on TPU v5e (window 7^3, N=343): XLA's own fusion of the einsum path
-is already within ~10-20% of this kernel (686x3 windows: 6.35 ms XLA vs
-6.91 ms Pallas; 128x6: 3.38 vs 4.18) — the small head dims (16-32) leave the
-MXU underutilised either way and XLA batches the tiny matmuls well.  The
-kernel therefore stays OPT-IN (models default to the XLA path); it is the
-scaffold for a future blocked multi-window variant.
+Round-5 keep/drop measurement at the zoo's exact shapes (v5e, bf16,
+tools/probe_window_attn.py; forward, device-time ms):
+
+    shape (B=windows*batch, H, N, D)      XLA     Pallas
+    swin_unetr s0 (1000, 3, 343, 16)     9.57      8.80   (-8%)
+    swin_unetr s1 ( 125, 6, 343, 16)     4.42      4.06   (-8%)
+    swin_unetr s2 (  27,12, 343, 16)     3.78      3.46   (-8%)
+    vtunet s0     ( 343, 3, 343, 32)     8.60      4.42  (-49%)
+    vtunet s1     (  64, 6, 343, 32)     4.20      4.57   (+9%)
+    nnformer s0   ( 200, 6,  64, 16)     3.33      3.07   (-8%)
+    nnformer s2   (  16,24, 512, 16)     4.09      3.31  (-19%)
+
+DECISION (VERDICT r4 #7): KEEP, inference-only opt-in.  The kernel wins the
+forward at 6/7 zoo shapes (up to 2x at VT-UNet's top stage) but has no vjp
+(jax.grad fails to linearize through pallas_call here), so it cannot serve
+training; models default to the XLA path, and a deployment that is
+eval-bound on the Swin family can opt in for the forward.  Default-on
+wiring would need a train/eval-aware gate in swin_layers plus a vjp for the
+training path — recorded as the natural next step, not done here.
 """
 
 from __future__ import annotations
