@@ -46,9 +46,10 @@ class AugRecipe:
     """Declarative training-augmentation recipe for one dataset.
 
     ops are (name, prob, params) triples; prob 1.0 means unconditional.
-    pre_ops run before the affine (on the precrop window, ACDC style,
-    dataset_acdc.py:141-149); post_ops run after the crop (AMOS style,
-    dataset_amos_ct.py:141-153).
+    pre_ops run before the affine (ACDC style, dataset_acdc.py:141-149) —
+    on the FULL volume when ``full_volume`` is set and the device cache is
+    active (the reference's exact semantics), else on the precrop window;
+    post_ops run after the crop (AMOS style, dataset_amos_ct.py:141-153).
     """
     affine_prob: float = 1.0
     affine_pad: Sequence[int] = (0, 0, 0)
