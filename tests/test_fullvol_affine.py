@@ -142,3 +142,37 @@ def test_masked_gamma_matches_unmasked_on_true_extent():
     got_pad = got.copy()
     got_pad[1:7, 2:12, 3:15] = 0
     assert np.abs(got_pad).max() == 0
+
+
+def test_fullvol_device_cache_under_mesh_matches_unsharded():
+    """The full-volume path composes with the GSPMD mesh wrapping (replicated
+    cache, 'data'-sharded batch) and matches the unsharded batches."""
+    from cbim_tpu.config import config_from_dict
+    from cbim_tpu.data import get_dataset
+    from cbim_tpu.data.pipeline import TrainPipeline
+    from cbim_tpu.parallel.mesh import make_mesh
+
+    cfg = config_from_dict(dict(
+        dataset="synthetic", model="unet", dimension="3d", classes=3,
+        in_chan=1, training_size=[8, 16, 16], synthetic_cases=5,
+        synthetic_shape=[10, 24, 24], affine_pad_size=[2, 4, 4],
+        scale=[0.1, 0.2, 0.2], rotate=[10, 0, 0], translate=[0, 0, 0],
+        gaussian_noise_std=0.02, additive_brightness_std=0.5,
+        gamma_range=[0.7, 1.4], split_seed=0, k_fold=5,
+        mesh_axes=["data"], mesh_shape=None, device_cache=True,
+        full_volume=True))                      # cfg override knob
+    ds = get_dataset(cfg, mode="train", fold_idx=0)
+    mesh = make_mesh(cfg)
+
+    pipe_plain = TrainPipeline(ds, cfg, seed=3)
+    pipe_mesh = TrainPipeline(ds, cfg, seed=3, mesh=mesh)
+    assert pipe_plain._fullvol and pipe_mesh._fullvol
+
+    img_p, lab_p = pipe_plain.next_batch(8)
+    img_m, lab_m = pipe_mesh.next_batch(8)
+    spec = img_m.sharding.spec
+    assert spec and spec[0] == "data", spec
+    np.testing.assert_allclose(np.asarray(img_m, np.float32),
+                               np.asarray(img_p, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lab_m), np.asarray(lab_p))
